@@ -1,0 +1,24 @@
+"""metakssd_tpu — a TPU-native KSSD sketching + metagenomic profiling engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of MetaKSSD
+(KSSD v2): k-mer substring space decomposition sketching, lossless sketch
+set algebra, MarkerDB taxonomic profiling, and abundance-vector search.
+
+Design stance (vs the reference C implementation):
+  * a sketch is canonically a *sorted unique uint32 array* (+ uint16
+    counts), not an open-addressing hash table;
+  * all set operations are sorted-merge / searchsorted kernels on device;
+  * the shuffle-file dimension reduction is evaluated with a tiny
+    device-resident accept-table (the 64 MiB shuffle table never leaves
+    the host — only the ~``dim_end`` accepted entries matter);
+  * parallelism is a `jax.sharding.Mesh` (data-parallel read batches,
+    sharded/replicated MarkerDB, psum/all_gather merges), not OpenMP;
+  * on-disk artifact formats are byte-compatible with the reference
+    (cofiles.stat, combco.N(.a), combco.index.N, mco.N, mco.index.N,
+    .shuf, .abv, abm/abmi/name/yl2n) so either toolchain can read the
+    other's databases.
+"""
+
+__version__ = "0.1.0"
+
+from metakssd_tpu.params import SketchParams  # noqa: F401
