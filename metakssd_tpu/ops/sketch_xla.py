@@ -1,0 +1,211 @@
+"""Device (JAX/XLA) KSSD sketch kernel.
+
+TPU-first re-design of the reference per-base hash loop
+(reference iseq2comem.c:240-311): instead of a rolling scalar tuple and an
+open-addressing hash table, every window's forward/revcomp tuples are
+computed as vectorised (hi, lo) uint32 pairs; the shuffle-table filter is
+evaluated against a tiny device-resident *accept table* (the sorted
+~dim_end accepted substring values + their reduced codes) via vectorised
+binary search — the 64 MiB shuffle table itself never leaves the host.
+The sketch is produced by sorting the surviving drtuples: unique /
+counting / component split all fall out of the sorted order.
+
+Layout contract: chunks are processed with a TL-1 code overlap so each
+window is evaluated exactly once; outputs are uint64 keys
+``drtuple`` for valid windows and ``SENTINEL`` elsewhere, sorted
+ascending, so the host (or downstream device code) can merge chunks and
+take unique+counts in linear time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metakssd_tpu.params import SketchParams
+from metakssd_tpu.formats.shuf import DimShuffle
+
+SENTINEL = np.uint64(0xFFFF_FFFF_FFFF_FFFF)
+
+# Chunk-size buckets bound the number of distinct compiled shapes.
+_CHUNK_BUCKETS = (1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 22)
+_MAX_CHUNK = _CHUNK_BUCKETS[-1]
+
+
+def _window_tuples(c32: jnp.ndarray, nwin: int, TL: int):
+    """(fwd_hi, fwd_lo, rc_hi, rc_lo) uint32 for every window.
+
+    Window w covers codes [w, w+TL).  Base at offset j inside the window
+    sits at bit 2*(TL-1-j) of the forward tuple and bit 2*j of the
+    revcomp tuple (reference iseq2comem.c:253-254).
+    """
+    z = jnp.zeros((nwin,), jnp.uint32)
+    fwd_hi, fwd_lo, rc_hi, rc_lo = z, z, z, z
+    for j in range(TL):
+        seg = jax.lax.dynamic_slice(c32, (j,), (nwin,))
+        fpos = 2 * (TL - 1 - j)
+        if fpos >= 32:
+            fwd_hi = fwd_hi | (seg << np.uint32(fpos - 32))
+        else:
+            fwd_lo = fwd_lo | (seg << np.uint32(fpos))
+        rseg = seg ^ np.uint32(3)
+        rpos = 2 * j
+        if rpos >= 32:
+            rc_hi = rc_hi | (rseg << np.uint32(rpos - 32))
+        else:
+            rc_lo = rc_lo | (rseg << np.uint32(rpos))
+    return fwd_hi, fwd_lo, rc_hi, rc_lo
+
+
+def _extract_field(hi: jnp.ndarray, lo: jnp.ndarray, shift: int, bits: int):
+    """bits [shift, shift+bits) of the 64-bit (hi,lo) value, as uint32."""
+    assert bits <= 32
+    if shift == 0:
+        v = lo
+    elif shift < 32:
+        v = (lo >> np.uint32(shift)) | (hi << np.uint32(32 - shift))
+    else:
+        v = hi >> np.uint32(shift - 32)
+    if bits == 32:
+        return v
+    return v & np.uint32((1 << bits) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "subk", "drlevel",
+                                             "nwin", "search_method"))
+def _sketch_chunk(codes: jnp.ndarray, accept_tups: jnp.ndarray,
+                  pfilters: jnp.ndarray, *, k: int, subk: int, drlevel: int,
+                  nwin: int, search_method: str = "scan_unrolled"):
+    """codes uint8[nwin + TL - 1] -> (drtuple uint32[nwin], keep mask).
+
+    Restricted to k - drlevel <= 8 (single component, 32-bit drtuples) —
+    the published configurations; wider configs use the host fallback.
+    """
+    TL = 2 * k
+    outctx = k - subk
+    assert k - drlevel <= 8, "device path supports 32-bit drtuples"
+
+    is_valid = codes < np.uint8(4)
+    c32 = jnp.where(is_valid, codes, 0).astype(jnp.uint32)
+
+    fwd_hi, fwd_lo, rc_hi, rc_lo = _window_tuples(c32, nwin, TL)
+
+    take_fwd = (fwd_hi < rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo <= rc_lo))
+    uni_hi = jnp.where(take_fwd, fwd_hi, rc_hi)
+    uni_lo = jnp.where(take_fwd, fwd_lo, rc_lo)
+
+    # window validity: all TL codes valid <=> no reset in [w, w+TL)
+    idx = jnp.arange(is_valid.shape[0], dtype=jnp.int32)
+    last_reset = jax.lax.cummax(jnp.where(is_valid, np.int32(-1), idx))
+    win_ok = jax.lax.dynamic_slice(last_reset, (TL - 1,), (nwin,)) < \
+        jnp.arange(nwin, dtype=jnp.int32)
+
+    # inner substring -> accept-table lookup
+    dim_tup = _extract_field(uni_hi, uni_lo, 2 * outctx, 4 * subk)
+    pos = jnp.searchsorted(accept_tups, dim_tup, side="left",
+                           method=search_method)
+    pos = jnp.minimum(pos, accept_tups.shape[0] - 1)
+    hit = accept_tups[pos] == dim_tup
+    pf = pfilters[pos]
+
+    # drtuple = (left_outer ++ right_outer) << 4*(subk-drlevel) + pfilter
+    # (algebraically identical to reference iseq2comem.c:291-294; fits in
+    # uint32 because k - drlevel <= 8 here)
+    top = _extract_field(uni_hi, uni_lo, 4 * k - 2 * outctx, 2 * outctx)
+    right = uni_lo & np.uint32((1 << (2 * outctx)) - 1) if outctx else \
+        jnp.zeros_like(uni_lo)
+    combined = (top << np.uint32(2 * outctx)) | right
+    drtuple = (combined << np.uint32(4 * (subk - drlevel))) + pf
+
+    keep = win_ok & hit
+    return drtuple, keep
+
+
+def _bucket(n: int) -> int:
+    for b in _CHUNK_BUCKETS:
+        if n <= b:
+            return b
+    return _MAX_CHUNK
+
+
+def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
+                 accept: tuple[np.ndarray, np.ndarray] | None = None,
+                 stream_order: bool = False) -> np.ndarray:
+    """Sketch a full code stream on device.
+
+    Returns sorted uint64 drtuples with duplicates preserved, or, with
+    ``stream_order=True``, the (positions, drtuples) of accepted windows
+    in stream order (for per-read sketching).
+    """
+    p = shuf.params
+    if p.k - p.drlevel > 8:
+        from metakssd_tpu.ops import golden
+        dr = golden.window_drtuples(codes, shuf)
+        if stream_order:
+            raise NotImplementedError("stream_order host fallback")
+        return np.sort(dr)
+
+    if accept is None:
+        accept = shuf.accept_table()
+    a_tups = jnp.asarray(accept[0])
+    a_pf = jnp.asarray(accept[1])
+
+    TL = p.kmer_len
+    n = codes.size
+    if n < TL:
+        return (np.zeros(0, np.uint64) if not stream_order
+                else (np.zeros(0, np.int64), np.zeros(0, np.uint64)))
+
+    step = _MAX_CHUNK
+    out_keys = []
+    out_pos = []
+    for start in range(0, max(n - TL + 1, 1), step):
+        nwin_real = min(step, n - TL + 1 - start)
+        nwin = _bucket(nwin_real)
+        chunk = np.full(nwin + TL - 1, 255, dtype=np.uint8)
+        chunk[:nwin_real + TL - 1] = codes[start:start + nwin_real + TL - 1]
+        key, keep = _sketch_chunk(
+            jnp.asarray(chunk), a_tups, a_pf,
+            k=p.k, subk=p.subk, drlevel=p.drlevel, nwin=nwin)
+        key_np = np.asarray(key)
+        kp = np.asarray(keep)
+        if stream_order:
+            pos = np.nonzero(kp)[0]
+            out_pos.append(pos + start)
+            out_keys.append(key_np[pos].astype(np.uint64))
+        else:
+            out_keys.append(key_np[kp].astype(np.uint64))
+
+    if stream_order:
+        return (np.concatenate(out_pos) if out_pos else np.zeros(0, np.int64),
+                np.concatenate(out_keys) if out_keys else np.zeros(0, np.uint64))
+    dr = np.concatenate(out_keys) if out_keys else np.zeros(0, np.uint64)
+    dr.sort()
+    return dr
+
+
+def sketch_to_sets(codes: np.ndarray, shuf: DimShuffle, mode: str = "set",
+                   min_occ: int = 1,
+                   accept: tuple[np.ndarray, np.ndarray] | None = None
+                   ) -> list[tuple[np.ndarray, np.ndarray | None]]:
+    """Device-accelerated equivalent of golden.sketch_sets."""
+    p = shuf.params
+    dr = sketch_codes(codes, shuf, accept=accept)
+    uniq, counts = np.unique(dr, return_counts=True)
+    if mode == "uniq":
+        uniq, counts = uniq[counts == 1], None
+    elif mode == "occ":
+        uniq, counts = uniq[counts >= min_occ], None
+    elif mode == "set":
+        counts = None
+    elif mode == "koc":
+        counts = np.minimum(counts, 0xFFFF).astype(np.uint16)
+    else:
+        raise ValueError(mode)
+    comp = (uniq % np.uint64(p.component_num)).astype(np.int64)
+    ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
+    return [(ids[comp == ci], counts[comp == ci] if counts is not None else None)
+            for ci in range(p.component_num)]
