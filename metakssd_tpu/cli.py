@@ -1,0 +1,245 @@
+"""Command-line interface mirroring the reference `metakssd` verbs.
+
+    python -m metakssd_tpu.cli shuffle  -k 8 -s 5 -l 2 -o prefix
+    python -m metakssd_tpu.cli dist     [-r ref] [-L shuf|level] [opts] [query...]
+    python -m metakssd_tpu.cli set      -u|-q|-s pan|-i pan|-g tax.tsv|-c|-P ...
+    python -m metakssd_tpu.cli composite -r db [-q qry|-i|-s 0-2|-d] ...
+    python -m metakssd_tpu.cli reverse  -L shuf [-b] -o outdir <co dir>
+
+Flag names/semantics follow the reference wrappers
+(command_dist_wrapper.c:32-96, command_set.c:24-68,
+command_composite.c:32-63, command_shuffle.c:22-49,
+command_reverse.c:23-45).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_shuffle(args) -> int:
+    from metakssd_tpu.params import SketchParams
+    from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+    p = SketchParams(k=args.halfKmerLen, subk=args.halfSubstrLen,
+                     drlevel=args.level)
+    p.validate()
+    shuf = make_shuf(p, seed=args.seed)
+    write_shuf(args.outfile + ".shuf", shuf)
+    print(f"kssd shuffle: shuf_id={shuf.params.shuf_id}, k = {p.k}, "
+          f"halfCtxLen = {p.subk}, level= {p.drlevel}")
+    return 0
+
+
+def _cmd_dist(args) -> int:
+    from metakssd_tpu import pipeline, dist
+    from metakssd_tpu.formats.costat import CO_DSTAT, MCO_DSTAT
+    from metakssd_tpu.formats import mco as mco_fmt
+    from metakssd_tpu.formats.shuf import read_shuf
+
+    opts = pipeline.SketchOptions(
+        abundance=args.abundance, dedup=args.dedup,
+        min_occ=args.LstKmerOcrs, min_qual=args.quality,
+        byread=args.byread)
+
+    def has(d, f):
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, f))
+
+    ref = args.reference_dir
+    queries = args.query or []
+    outdir = args.outdir
+
+    def _shuf():
+        if args.DimRdcLevel and os.path.isfile(args.DimRdcLevel):
+            return read_shuf(args.DimRdcLevel)
+        level = int(args.DimRdcLevel) if args.DimRdcLevel else 2
+        return pipeline.resolve_shuffle(None, args.halfKmerlength, level,
+                                        outdir, seed=args.seed)
+
+    if ref:
+        if has(ref, CO_DSTAT) and not has(ref, MCO_DSTAT) and not queries:
+            # stage II only: invert an existing sketch dir
+            mco_fmt.build_mco(ref, outdir, component_sz=args.component_sz)
+        elif not has(ref, CO_DSTAT) and not has(ref, MCO_DSTAT) and \
+                not queries:
+            # sketch ref inputs then invert (reference stage I+II)
+            shuf = _shuf()
+            inputs = pipeline.organize_infiles([ref], args.list)
+            pipeline.run_stage1(inputs, shuf, outdir, opts)
+            mco_fmt.build_mco(outdir, outdir, component_sz=args.component_sz)
+        elif queries:
+            # database search mode
+            dopts = dist.DistOptions(
+                metric=args.metric, outfields=args.outfields,
+                correction=bool(args.correction),
+                mut_dist_max=args.mutDist_max, num_neigb=args.neighborN_max,
+                keep_shared_kmer=args.keepskf,
+                shared_kmerpath=args.skf)
+            if not has(queries[0], CO_DSTAT):
+                sys.exit("query must be a sketch dir (run dist -L ... "
+                         "<seqs> first)")
+            dist.run_dist_search(ref, queries[0], outdir, dopts)
+        return 0
+
+    # no -r: sketching only
+    if queries and has(queries[0], CO_DSTAT):
+        if len(queries) == 1:
+            mco_fmt.build_mco(queries[0], outdir,
+                              component_sz=args.component_sz)
+        else:
+            from metakssd_tpu import setops
+            setops.combine_queries(queries, outdir)
+        return 0
+    shuf = _shuf()
+    inputs = pipeline.organize_infiles(queries, args.list)
+    if not inputs:
+        sys.exit("please specify the input/query files")
+    if opts.byread:
+        if len(inputs) != 1:
+            sys.exit("--byread takes one input file")
+        pipeline.sketch_byread(inputs[0], shuf, outdir)
+    else:
+        pipeline.run_stage1(inputs, shuf, outdir, opts)
+    return 0
+
+
+def _cmd_set(args) -> int:
+    from metakssd_tpu import setops
+    if args.union:
+        setops.sketch_union(args.insketch, args.outdir)
+    elif args.uniq_union:
+        setops.uniq_sketch_union(args.insketch, args.outdir)
+    elif args.subtract:
+        setops.sketch_operate(args.insketch, args.subtract, args.outdir,
+                              intersect=False)
+    elif args.intsect:
+        setops.sketch_operate(args.insketch, args.intsect, args.outdir,
+                              intersect=True)
+    elif args.grouping:
+        setops.grouping_genomes(args.insketch, args.grouping, args.outdir)
+    elif args.combin_pan:
+        setops.combine_pans([args.insketch] + (args.rest or []), args.outdir)
+    elif args.print_names:
+        setops.print_gnames(args.insketch)
+    else:
+        print("set operation use : -u, -q, -i or -s")
+        return 1
+    return 0
+
+
+def _cmd_composite(args) -> int:
+    from metakssd_tpu import composite
+    if args.ref and args.query:
+        composite.get_species_abundance(
+            args.ref, args.query, outdir=args.outfile,
+            binvec=args.binVec)
+    elif args.ref and args.idxbv:
+        composite.index_abv(args.ref)
+    elif args.ref and args.search is not None:
+        composite.abv_search(args.ref, args.rest or [], mode=args.search)
+    elif args.readabv:
+        for f in args.rest or []:
+            composite.read_abv(f)
+    else:
+        print("Usage: metakssd composite -r <ref> < mode: -q | -i | -s >")
+        return 1
+    return 0
+
+
+def _cmd_reverse(args) -> int:
+    from metakssd_tpu import reverse
+    reverse.co_reverse2kmer(args.codir, args.shufFile, args.outdir,
+                            byreads=args.byreads)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="metakssd_tpu",
+        description="TPU-native KSSD sketching and metagenomic profiling")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    sh = sub.add_parser("shuffle", help="generate dimension shuffle file")
+    sh.add_argument("-k", "--halfKmerLen", type=int, default=8)
+    sh.add_argument("-s", "--halfSubstrLen", type=int, default=5)
+    sh.add_argument("-l", "--level", type=int, default=2)
+    sh.add_argument("-o", "--outfile", default="./default")
+    sh.add_argument("--seed", type=int, default=None)
+    sh.set_defaults(func=_cmd_shuffle)
+
+    di = sub.add_parser("dist", help="sketch / build db / search")
+    di.add_argument("-k", "--halfKmerlength", type=int, default=8)
+    di.add_argument("-p", "--threadN", type=int, default=0)
+    di.add_argument("-l", "--list", default=None)
+    di.add_argument("-L", "--DimRdcLevel", default=None,
+                    help="level int or .shuf path")
+    di.add_argument("-m", "--maxMemory", type=float, default=0)
+    di.add_argument("-n", "--LstKmerOcrs", type=int, default=1)
+    di.add_argument("-Q", "--quality", type=int, default=0)
+    di.add_argument("-r", "--reference_dir", default="")
+    di.add_argument("-o", "--outdir", default=".")
+    di.add_argument("-N", "--neighborN_max", type=int, default=0)
+    di.add_argument("-D", "--mutDist_max", type=float, default=1.0)
+    di.add_argument("-M", "--metric", type=int, default=0)
+    di.add_argument("-O", "--outfields", type=int, default=2)
+    di.add_argument("--correction", type=int, default=0)
+    di.add_argument("-A", "--abundance", action="store_true")
+    di.add_argument("-u", "--dedup", action="store_true")
+    di.add_argument("--keepcofile", action="store_true")
+    di.add_argument("-P", "--pipecmd", default="")
+    di.add_argument("--keepskf", action="store_true")
+    di.add_argument("-f", "--skf", default="")
+    di.add_argument("--byread", action="store_true")
+    di.add_argument("--seed", type=int, default=None)
+    di.add_argument("--component_sz", type=int, default=None,
+                    help="mco dense row space = 16^N (reference "
+                         "COMPONENT_SZ macro; default 8)")
+    di.add_argument("query", nargs="*")
+    di.set_defaults(func=_cmd_dist)
+
+    se = sub.add_parser("set", help="lossless sketch set algebra")
+    se.add_argument("-u", "--union", action="store_true")
+    se.add_argument("-q", "--uniq_union", action="store_true")
+    se.add_argument("-s", "--subtract", default=None, metavar="PAN")
+    se.add_argument("-i", "--intsect", default=None, metavar="PAN")
+    se.add_argument("-c", "--combin_pan", action="store_true")
+    se.add_argument("-g", "--grouping", default=None, metavar="TSV")
+    se.add_argument("-P", "--print_names", action="store_true")
+    se.add_argument("-p", "--threads", type=int, default=1)
+    se.add_argument("-o", "--outdir", default="./")
+    se.add_argument("insketch")
+    se.add_argument("rest", nargs="*")
+    se.set_defaults(func=_cmd_set)
+
+    co = sub.add_parser("composite", help="MarkerDB profiling / abv search")
+    co.add_argument("-r", "--ref", default="")
+    co.add_argument("-q", "--query", default="")
+    co.add_argument("-o", "--outfile", default="./")
+    co.add_argument("-p", "--threads", type=int, default=1)
+    co.add_argument("-b", "--binVec", action="store_true")
+    co.add_argument("-i", "--idxbv", action="store_true")
+    co.add_argument("-s", "--search", type=int, default=None)
+    co.add_argument("-d", "--readabv", action="store_true")
+    co.add_argument("rest", nargs="*")
+    co.set_defaults(func=_cmd_composite)
+
+    rv = sub.add_parser("reverse", help="sketch -> k-mer strings")
+    rv.add_argument("-L", "--shufFile", required=True)
+    rv.add_argument("-o", "--outdir", default=".")
+    rv.add_argument("-p", "--threads", type=int, default=1)
+    rv.add_argument("-b", "--byreads", action="store_true")
+    rv.add_argument("codir")
+    rv.set_defaults(func=_cmd_reverse)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,289 @@
+"""Sketch search: shared-k-mer counting and distance estimation.
+
+TPU-native re-design of the reference search core
+(mco_cbdco_nobin_dist, command_dist.c:902-1079): instead of walking an
+mmap'd dense inverted index with scalar increments, the engine holds the
+reference database as sparse CSR postings on device and, per query,
+computes membership of every distinct reference k-mer in the query's
+*sorted* sketch (vectorised binary search) followed by a segment-sum over
+genome ids.  The (qry x ref) matrix is persisted as ``sharedk_ct.dat``
+in the reference's exact layout (row-major uint32) so --keepskf / -f
+interop works across toolchains.
+
+Output statistics replicate output_ctrl (command_dist.c:1636-1674):
+Jaccard / containment, Mash-d / AAF-d, shared-k-mer correction, normal
+approximation p/q-values and 95% CIs, with byte-identical formatting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metakssd_tpu.formats.codir import CoDir
+from metakssd_tpu.formats.costat import CoStat, McoStat
+from metakssd_tpu.formats import mco as mco_fmt
+
+ALP_SIZE = 4  # DNA (reference command_dist.c:554)
+
+
+# --------------------------------------------------------------------------
+# shared-k-mer counting
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RefIndex:
+    """Device-resident CSR postings for one component."""
+    kmers: jnp.ndarray        # uint32[nrows] sorted distinct
+    posting_row: jnp.ndarray  # int32[npost] row index of each posting
+    posting_gid: jnp.ndarray  # int32[npost]
+    num_refs: int
+
+    @classmethod
+    def from_inverted(cls, inv: mco_fmt.InvertedIndex, num_refs: int
+                      ) -> "RefIndex":
+        lens = np.diff(inv.offsets.astype(np.int64))
+        prow = np.repeat(np.arange(inv.kmers.size, dtype=np.int32), lens)
+        return cls(jnp.asarray(inv.kmers), jnp.asarray(prow),
+                   jnp.asarray(inv.gids.astype(np.int32)), num_refs)
+
+
+def _count_one_query(ref_kmers, posting_row, posting_gid, qry_ids, num_refs):
+    pos = jnp.searchsorted(qry_ids, ref_kmers, side="left")
+    pos = jnp.minimum(pos, max(qry_ids.shape[0] - 1, 0))
+    member = (qry_ids[pos] == ref_kmers) if qry_ids.shape[0] else \
+        jnp.zeros_like(ref_kmers, dtype=bool)
+    hit = member[posting_row].astype(jnp.uint32)
+    return jax.ops.segment_sum(hit, posting_gid, num_segments=num_refs)
+
+
+_count_one_query_j = jax.jit(_count_one_query, static_argnames=("num_refs",))
+
+
+def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
+                       use_device: bool = True) -> np.ndarray:
+    """uint32[qry_num, ref_num] shared-k-mer counts.
+
+    ``ref`` may be a sketch dir (native path) or an mco dir written by
+    either toolchain.
+    """
+    if isinstance(qry, str):
+        qry = CoDir.read(qry, want_abund=False)
+    ref_is_mco = isinstance(ref, str) and \
+        os.path.exists(os.path.join(ref, "mcofiles.stat"))
+    if ref_is_mco:
+        mstat = McoStat.read(ref)
+        num_refs = mstat.infile_num
+        comp_num = mstat.comp_num
+        get_inv = lambda c: mco_fmt.read_mco_component(ref, c)  # noqa: E731
+        _check_compat(mstat.shuf_id, mstat.comp_num, qry.stat)
+    else:
+        if isinstance(ref, str):
+            ref = CoDir.read(ref, want_abund=False)
+        num_refs = ref.stat.infile_num
+        comp_num = ref.stat.comp_num
+        get_inv = lambda c: mco_fmt.InvertedIndex.from_codir(ref, c)  # noqa: E731
+        _check_compat(ref.stat.shuf_id, ref.stat.comp_num, qry.stat)
+
+    qnum = qry.stat.infile_num
+    out = np.zeros((qnum, num_refs), dtype=np.uint32)
+    for c in range(comp_num):
+        inv = get_inv(c)
+        if inv.kmers.size == 0:
+            continue
+        if use_device:
+            ridx = RefIndex.from_inverted(inv, num_refs)
+            for q in range(qnum):
+                qids = np.sort(qry.genome_ids(c, q))
+                if qids.size == 0:
+                    continue
+                cnt = _count_one_query_j(ridx.kmers, ridx.posting_row,
+                                         ridx.posting_gid, jnp.asarray(qids),
+                                         num_refs=num_refs)
+                out[q] += np.asarray(cnt, dtype=np.uint32)
+        else:
+            lens = np.diff(inv.offsets.astype(np.int64))
+            prow = np.repeat(np.arange(inv.kmers.size), lens)
+            for q in range(qnum):
+                qids = np.sort(qry.genome_ids(c, q))
+                pos = np.searchsorted(qids, inv.kmers)
+                pos = np.minimum(pos, max(qids.size - 1, 0))
+                member = qids[pos] == inv.kmers if qids.size else \
+                    np.zeros(inv.kmers.size, bool)
+                hits = member[prow]
+                out[q] += np.bincount(inv.gids[hits],
+                                      minlength=num_refs).astype(np.uint32)
+    return out
+
+
+def _check_compat(ref_shuf_id: int, ref_comp: int, qstat: CoStat) -> None:
+    if qstat.shuf_id != ref_shuf_id:
+        raise ValueError(f"qry shuf_id {qstat.shuf_id} does not match ref "
+                         f"shuf_id {ref_shuf_id}")
+    if qstat.comp_num != ref_comp:
+        raise ValueError(f"qry comp_num {qstat.comp_num} does not match ref "
+                         f"comp_num {ref_comp}")
+
+
+# --------------------------------------------------------------------------
+# statistics + printing (reference dist_print_nobin / output_ctrl)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DistOptions:
+    metric: int = 0            # -M 0 Jaccard / 1 containment
+    outfields: int = 2         # -O 0 dist / 1 +p,q / 2 +CI
+    correction: bool = False   # --correction
+    mut_dist_max: float = 1.0  # -D
+    num_neigb: int = 0         # -N
+    keep_shared_kmer: bool = False  # --keepskf
+    shared_kmerpath: str = ""  # -f
+
+
+_HEADER = [["Jaccard\tMashD", "P-value(J)\tFDR(J)", "Jaccard_CI\tMashD_CI"],
+           ["ContainmentM\tAafD", "P-value(C)\tFDR(C)",
+            "ContainmentM_CI\tAafD_CI"]]
+
+
+def _cfmt(fmt: str, x) -> str:
+    """printf-compatible float formatting: glibc prints the sign bit of
+    NaNs ("-NAN"); Python suppresses it."""
+    s = fmt % x
+    if np.isnan(x) and np.signbit(x):
+        return "-" + s
+    return s
+
+
+def _get_dist(metric_kind: int, m, kmerlen: int) -> np.float64:
+    """C-semantics (IEEE, no exceptions) version of
+    log(GET_MATRIC(kind, m))/kmerlen (reference command_dist.c:1636,1651)."""
+    m = np.float64(m)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = 1.0 / (2.0 * m) + 0.5 if metric_kind == 0 else 1.0 / m
+        return np.log(v) / kmerlen
+
+
+def _format_line(qname: str, rname: str, X: int, Y: int, XnY: int,
+                 kmerlen: int, dim_rd_len: int, opts: DistOptions,
+                 cmprsn_num: int) -> str | None:
+    """One output line (reference output_ctrl, command_dist.c:1637-1674)."""
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        rs = np.float64(0.0)
+        if opts.correction:
+            x_d = np.float64(X - XnY)
+            y_d = np.float64(Y - XnY)
+            p_base = 1.0 - 1.0 / np.float64(ALP_SIZE) ** (kmerlen - dim_rd_len)
+            px = 1.0 - p_base ** x_d
+            py = 1.0 - p_base ** y_d
+            rs = px * py * (x_d + y_d) / (px + py - 2 * px * py)
+        tmp = np.float64((X + Y - XnY) if opts.metric == 0 else min(X, Y))
+        metric = (np.float64(XnY) - rs) / tmp
+        dist = _get_dist(opts.metric, metric, kmerlen)
+        if dist > 1:
+            dist = np.float64(1.0)
+        if dist > opts.mut_dist_max:
+            return None
+        line = (f"{qname}\t{rname}\t{XnY}-{int(rs) if np.isfinite(rs) else 0}"
+                f"|{X}|{Y}\t{_cfmt('%.6f', metric)}\t{_cfmt('%.6f', dist)}")
+        if opts.outfields > 0:
+            sd = np.sqrt(metric * (1 - metric) / tmp)
+            pv = 0.5 * np.float64(math.erfc(metric / sd * math.sqrt(0.5)))
+            line += "\t%s\t%s" % (_cfmt("%E", pv),
+                                  _cfmt("%E", pv * cmprsn_num))
+            if opts.outfields > 1:
+                ci1 = metric - 1.96 * sd
+                ci2 = metric + 1.96 * sd
+                d1 = _get_dist(opts.metric, ci2, kmerlen)
+                d2 = _get_dist(opts.metric, ci1, kmerlen)
+                line += "\t[%s,%s]\t[%s,%s]" % tuple(
+                    _cfmt("%.6f", v) for v in (ci1, ci2, d1, d2))
+    return line + "\n"
+
+
+def write_distance_out(matrix: np.ndarray, ref_names: list[str],
+                       qry_names: list[str], ref_ctx_ct: np.ndarray,
+                       qry_ctx_ct: np.ndarray, kmerlen: int,
+                       dim_rd_len: int, outdir: str,
+                       opts: DistOptions | None = None) -> str:
+    opts = opts or DistOptions()
+    os.makedirs(outdir, exist_ok=True)
+    ref_num = len(ref_names)
+    qry_num = len(qry_names)
+    cmprsn = ref_num * qry_num
+    path = os.path.join(outdir, "distance.out")
+    with open(path, "w") as f:
+        f.write("Qry\tRef\tShared_k|Ref_s|Qry_s")
+        for i in range(opts.outfields + 1):
+            f.write("\t" + _HEADER[opts.metric][i])
+        f.write("\n")
+        for q in range(qry_num):
+            Y = int(qry_ctx_ct[q])
+            row = matrix[q]
+            rids = range(ref_num)
+            if opts.num_neigb:
+                # top-N by (uncorrected) metric, ties by ascending rid,
+                # zero-metric refs dropped (reference command_dist.c:1592-1618)
+                mvals = np.zeros(ref_num)
+                X = ref_ctx_ct.astype(np.float64)
+                XnY = row.astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    if opts.metric == 1:
+                        mvals = XnY / np.minimum(X, Y)
+                    else:
+                        mvals = XnY / (X + Y - XnY)
+                mvals = np.nan_to_num(mvals)
+                order = np.lexsort((np.arange(ref_num), -mvals))
+                rids = [int(r) for r in order[:opts.num_neigb]
+                        if mvals[r] > 0]
+            for r in rids:
+                line = _format_line(qry_names[q], ref_names[r],
+                                    int(ref_ctx_ct[r]), Y, int(row[r]),
+                                    kmerlen, dim_rd_len, opts, cmprsn)
+                if line:
+                    f.write(line)
+    return path
+
+
+def save_sharedk(matrix: np.ndarray, outdir: str) -> str:
+    """Persist qry x ref uint32 counts as the reference's sharedk_ct.dat."""
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "sharedk_ct.dat")
+    matrix.astype(np.uint32).tofile(path)
+    return path
+
+
+def load_sharedk(path: str, qry_num: int, ref_num: int) -> np.ndarray:
+    m = np.fromfile(path, dtype=np.uint32)
+    return m.reshape(qry_num, ref_num)
+
+
+def run_dist_search(ref_path: str, qry_path: str, outdir: str,
+                    opts: DistOptions | None = None,
+                    use_device: bool = True) -> str:
+    """Full search pipeline: counts + stats + distance.out
+    (reference mco_cbdco_nobin_dist + dist_print_nobin)."""
+    opts = opts or DistOptions()
+    qry = CoDir.read(qry_path, want_abund=False)
+    if os.path.exists(os.path.join(ref_path, "mcofiles.stat")):
+        rstat = McoStat.read(ref_path)
+        ref_names, ref_ctx = rstat.names, rstat.ctx_ct
+    else:
+        cstat = CoStat.read(ref_path)
+        ref_names, ref_ctx = cstat.names, cstat.ctx_ct
+    if opts.shared_kmerpath:
+        matrix = load_sharedk(opts.shared_kmerpath, qry.stat.infile_num,
+                              len(ref_names))
+    else:
+        matrix = shared_kmer_matrix(ref_path, qry, use_device=use_device)
+        skf = save_sharedk(matrix, outdir)
+    path = write_distance_out(
+        matrix, ref_names, qry.stat.names, ref_ctx, qry.stat.ctx_ct,
+        qry.stat.kmerlen, qry.stat.dim_rd_len, outdir, opts)
+    if not opts.keep_shared_kmer and not opts.shared_kmerpath:
+        os.remove(skf)
+    return path

@@ -51,15 +51,20 @@ def sniff_format(path: str) -> str:
     return "fastq" if first == b"@" else "fasta"
 
 
-def fasta_to_codes(path: str) -> np.ndarray:
-    """Whole-file code stream; '>'-headers become single RESET markers."""
-    chunks: list[np.ndarray] = []
+def fasta_to_codes(path: str, return_headers: bool = False):
+    """Whole-file code stream; '>'-headers become single RESET markers.
+
+    With ``return_headers``, also return the positions of the header
+    markers in the code stream (sequence r spans
+    ``(headers[r], headers[r+1])``) — used by per-read sketching.
+    """
     with open_maybe_gz(path) as f:
         data = f.read()
     pos = 0
     n = len(data)
     out = np.empty(n, dtype=np.uint8)
     out_n = 0
+    headers: list[int] = []
     while pos < n:
         eol = data.find(b"\n", pos)
         if eol == -1:
@@ -71,12 +76,15 @@ def fasta_to_codes(path: str) -> np.ndarray:
         if not line:
             continue
         if line[0:1] == b">":
+            headers.append(out_n)
             out[out_n] = RESET
             out_n += 1
             continue
         arr = BASEMAP[np.frombuffer(line, dtype=np.uint8)]
         out[out_n:out_n + arr.size] = arr
         out_n += arr.size
+    if return_headers:
+        return out[:out_n], np.asarray(headers, dtype=np.int64)
     return out[:out_n]
 
 

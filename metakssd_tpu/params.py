@@ -51,6 +51,9 @@ class SketchParams:
     subk: int = 5
     drlevel: int = 2
     shuf_id: int = 0
+    # Reference compile-time macro COMPONENT_SZ as runtime config; the id
+    # space per component is 16**component_sz.
+    component_sz: int = COMPONENT_SZ
 
     # --- derived (reference iseq2comem.c:54-86) ---
     @property
@@ -93,7 +96,7 @@ class SketchParams:
     @property
     def comp_code_bits(self) -> int:
         kd = self.k - self.drlevel
-        return 4 * (kd - COMPONENT_SZ) if kd > COMPONENT_SZ else 0
+        return 4 * (kd - self.component_sz) if kd > self.component_sz else 0
 
     @property
     def component_num(self) -> int:
@@ -102,6 +105,18 @@ class SketchParams:
     @property
     def drtuple_bits(self) -> int:
         return 4 * (self.k - self.drlevel)
+
+    @property
+    def comp_id_bits(self) -> int:
+        """Bits actually used by per-component sketch ids."""
+        return 4 * min(self.k - self.drlevel, self.component_sz)
+
+    @property
+    def comp_space(self) -> int:
+        """Dense row space of the reference mco format: 16**component_sz
+        (the reference sizes the index by the macro even when ids are
+        narrower, co2mco.c:18)."""
+        return 1 << (4 * self.component_sz)
 
     @property
     def hashsize(self) -> int:

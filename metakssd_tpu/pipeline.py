@@ -1,0 +1,145 @@
+"""Stage-I pipeline: sequence files -> combined sketch directory.
+
+TPU-native counterpart of reference run_stageI (command_dist.c:341-502):
+per-file sketching feeds the device kernel; per-component combined
+arrays + prefix index + stat file are written exactly in the reference's
+on-disk format.  Unlike the reference (which randomises input order via
+srand(time)), file order is deterministic (sorted) unless a seed is given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import numpy as np
+
+from metakssd_tpu.formats.shuf import DimShuffle, read_shuf, make_shuf, write_shuf
+from metakssd_tpu.formats.costat import CoStat
+from metakssd_tpu.formats.codir import write_codir
+from metakssd_tpu.io import seqio
+from metakssd_tpu.ops import sketch_xla
+from metakssd_tpu.params import SketchParams
+
+ACCEPT_EXTS = seqio.FASTA_EXTS + seqio.FASTQ_EXTS
+
+
+@dataclasses.dataclass
+class SketchOptions:
+    """Mirrors the reference dist options (command_dist_wrapper.c:68-96)."""
+    abundance: bool = False    # -A  (koc mode, u16 counts)
+    dedup: bool = False        # -u  (keep multiplicity-1 k-mers only)
+    min_occ: int = 1           # -n  (fastq least k-mer occurrence)
+    min_qual: int = 0          # -Q  (fastq base-quality filter)
+    byread: bool = False       # --byread (per-read sketching)
+
+
+def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]:
+    """Expand dirs / list files / file args into an ordered list of inputs
+    (reference organize_infile_frm_arg / organize_infile_list,
+    global_basic.c:169-325)."""
+    paths: list[str] = []
+    if list_file:
+        with open(list_file) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    paths.append(line)
+    for a in args or []:
+        if os.path.isdir(a):
+            for name in sorted(os.listdir(a)):
+                base = name[:-3] if name.endswith(".gz") else name
+                if os.path.splitext(base)[1].lower() in ACCEPT_EXTS:
+                    paths.append(os.path.join(a, name))
+        else:
+            paths.append(a)
+    return paths
+
+
+def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
+                accept=None) -> list[tuple[np.ndarray, np.ndarray | None]]:
+    """Sketch one input file into per-component (ids, counts)."""
+    fmt = seqio.sniff_format(path)
+    if fmt == "fastq":
+        if opts.abundance:
+            # reference -A path (mt_shortreads2koc): no quality filter
+            codes, _ = seqio.fastq_to_codes(path, min_qual=0)
+            return sketch_xla.sketch_to_sets(codes, shuf, mode="koc",
+                                             accept=accept)
+        codes, _ = seqio.fastq_to_codes(path, min_qual=opts.min_qual)
+        return sketch_xla.sketch_to_sets(codes, shuf, mode="occ",
+                                         min_occ=opts.min_occ, accept=accept)
+    codes = seqio.fasta_to_codes(path)
+    mode = "uniq" if opts.dedup else "set"
+    return sketch_xla.sketch_to_sets(codes, shuf, mode=mode, accept=accept)
+
+
+def sketch_byread(path: str, shuf: DimShuffle, out_dir: str,
+                  accept=None) -> None:
+    """Per-read sketching (reference reads2mco, iseq2comem.c:89-214):
+    k-mers kept in stream order with duplicates; combco.index.c holds
+    cumulative per-read counts."""
+    p = shuf.params
+    fmt = seqio.sniff_format(path)
+    if fmt == "fastq":
+        codes, starts = seqio.fastq_to_codes(path)
+        read_starts = starts[:-1]          # one entry per read
+    else:
+        codes, read_starts = seqio.fasta_to_codes(path, return_headers=True)
+    nreads = read_starts.size
+    pos, dr = sketch_xla.sketch_codes(codes, shuf, accept=accept,
+                                      stream_order=True)
+    # window at stream position w belongs to the read containing it
+    # (pos is the window *start*; reads are separated by RESETs so a
+    # window never spans two reads)
+    read_of = np.searchsorted(read_starts, pos, side="right") - 1
+    comp = (dr % np.uint64(p.component_num)).astype(np.int64)
+    ids = (dr >> np.uint64(p.comp_code_bits)).astype(np.uint32)
+    os.makedirs(out_dir, exist_ok=True)
+    for c in range(p.component_num):
+        sel = comp == c
+        ids[sel].tofile(os.path.join(out_dir, f"combco.{c}"))
+        counts = np.bincount(read_of[sel], minlength=nreads)
+        index = np.zeros(nreads + 1, dtype=np.uint64)
+        np.cumsum(counts, out=index[1:])
+        index.tofile(os.path.join(out_dir, f"combco.index.{c}"))
+
+
+def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
+               opts: SketchOptions | None = None) -> CoStat:
+    """Sketch all inputs and write the combined sketch directory."""
+    opts = opts or SketchOptions()
+    p = shuf.params
+    accept = shuf.accept_table()
+
+    koc = opts.abundance
+    if koc and any(seqio.sniff_format(f) != "fastq" for f in inputs):
+        # reference closes abundance mode on non-fastq input
+        # (command_dist.c:390-393)
+        koc = False
+        opts = dataclasses.replace(opts, abundance=False)
+
+    per_genome = []
+    for path in inputs:
+        per_genome.append(sketch_file(path, shuf, opts, accept=accept))
+
+    ctx_ct = np.array(
+        [sum(g[c][0].size for c in range(p.component_num))
+         for g in per_genome], dtype=np.uint32)
+    stat = CoStat(shuf_id=p.shuf_id, koc=koc, kmerlen=2 * p.k,
+                  dim_rd_len=2 * p.drlevel, comp_num=p.component_num,
+                  all_ctx_ct=int(ctx_ct.sum()), ctx_ct=ctx_ct,
+                  names=list(inputs))
+    write_codir(out_dir, stat, per_genome)
+    return stat
+
+
+def resolve_shuffle(dr_file: str | None, k: int, drlevel: int,
+                    out_dir: str, seed: int | None = None) -> DimShuffle:
+    """-L handling: a .shuf path loads it; otherwise generate one into
+    out_dir/default.shuf (reference get_dim_shuffle, command_dist.c:256-284)."""
+    if dr_file and os.path.isfile(dr_file):
+        return read_shuf(dr_file)
+    shuf = make_shuf(SketchParams.for_drlevel(k, drlevel), seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    write_shuf(os.path.join(out_dir, "default.shuf"), shuf)
+    return shuf
