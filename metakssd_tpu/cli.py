@@ -233,7 +233,39 @@ def build_parser() -> argparse.ArgumentParser:
     rv.add_argument("-b", "--byreads", action="store_true")
     rv.add_argument("codir")
     rv.set_defaults(func=_cmd_reverse)
+
+    pp = sub.add_parser("postprocess",
+                        help="ports of the reference Perl toolchain")
+    pps = pp.add_subparsers(dest="pp_command", required=True)
+    po = pps.add_parser("poisson", help="Poisson relative abundance")
+    po.add_argument("composite_tsv")
+    po.add_argument("--shkm-thr", type=int, default=6)
+    po.set_defaults(func=_cmd_pp_poisson)
+    ca = pps.add_parser("cami", help="CAMI profile format conversion")
+    ca.add_argument("composite_tsv")
+    ca.add_argument("psid2ncbi_tsv")
+    ca.add_argument("nodes_tsv")
+    ca.add_argument("--shkm-thr", type=float, default=18)
+    ca.add_argument("--low-thr", type=float, default=1)
+    ca.set_defaults(func=_cmd_pp_cami)
     return ap
+
+
+def _cmd_pp_poisson(args) -> int:
+    from metakssd_tpu.postprocess import poisson
+    with open(args.composite_tsv) as f:
+        poisson.poisson_abundance(f, shkm_thr=args.shkm_thr)
+    return 0
+
+
+def _cmd_pp_cami(args) -> int:
+    from metakssd_tpu.postprocess import cami
+    n2r, n2p, n2n = cami.load_nodes(args.nodes_tsv)
+    with open(args.composite_tsv) as f:
+        cami.composite_to_cami_profile(
+            f, cami.load_psid_map(args.psid2ncbi_tsv), n2r, n2p, n2n,
+            shkm_thr=args.shkm_thr, low_thr=args.low_thr)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1,0 +1,323 @@
+"""MarkerDB taxonomic profiling and abundance-vector search
+(reference command_composite.c).
+
+Profiling (`get_species_abundance`) is re-designed TPU-first: the
+reference builds a per-query open hash and probes every reference k-mer
+against it (command_composite.c:535-566); here the query sketch is a
+sorted array and every reference posting is matched with one vectorised
+binary search on device, followed by per-genome segment statistics.
+
+Abundance-vector search keeps the reference's sparse semantics (L2 and
+the matched-sample set are overlap-restricted) but exposes a batched
+dense MXU path (`abv_search_batch`) where the measures become matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metakssd_tpu.formats.codir import CoDir
+from metakssd_tpu.formats.costat import CoStat
+from metakssd_tpu.formats.abv import (read_abv_file, write_abv_file,
+                                      AbvIndex, BINVEC_DIRNAME)
+from metakssd_tpu.params import MIN_KM_S
+
+ST_PCTL = 0.98
+ED_PCTL = 0.99
+
+
+# --------------------------------------------------------------------------
+# profiling
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _match_abund(qry_ids: jnp.ndarray, qry_ab: jnp.ndarray,
+                 ref_ids: jnp.ndarray):
+    """For each reference k-mer: (matched?, abundance)."""
+    pos = jnp.searchsorted(qry_ids, ref_ids, side="left")
+    pos = jnp.minimum(pos, max(qry_ids.shape[0] - 1, 0))
+    member = qry_ids[pos] == ref_ids
+    ab = jnp.where(member, qry_ab[pos], 0)
+    return member, ab
+
+
+def _profile_stats(matched_ab: np.ndarray):
+    """Reference per-genome statistics (command_composite.c:596-624) on a
+    1-based sorted array, C-indexing semantics preserved."""
+    n = matched_ab.size
+    s1 = np.empty(n + 1, dtype=np.int64)
+    s1[0] = n
+    s1[1:] = np.sort(matched_ab)
+    total = int(s1[1:].sum())
+    median = int(s1[n // 2])
+    p0 = int(n * ST_PCTL)
+    lastsum = 0
+    lastn = 0
+    i = p0
+    while i <= n * ED_PCTL:
+        lastsum += int(s1[i])
+        lastn += 1
+        i += 1
+    avg = np.float32(total) / np.float32(n)
+    avg9899 = np.float32(lastsum) / np.float32(lastn) if lastn else np.float32("nan")
+    return total, avg, avg9899, median, int(s1[n])
+
+
+def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
+                          binvec: bool = False, min_km_s: int = MIN_KM_S,
+                          use_device: bool = True, out=None) -> None:
+    """Profile query metagenome sketches against a MarkerDB
+    (reference get_species_abundance, command_composite.c:446-649)."""
+    import sys
+    out = out or sys.stdout
+    ref = CoDir.read(refdir, want_abund=False)
+    qry = CoDir.read(qrydir)
+    if qry.abund is None:
+        raise ValueError("get_species_abundance(): query has not abundance")
+    if qry.stat.shuf_id != ref.stat.shuf_id:
+        print(f"get_species_abundance(): qry shuf_id {qry.stat.shuf_id} "
+              f"not match ref shuf_id: {ref.stat.shuf_id}", file=sys.stderr)
+
+    nref = ref.stat.infile_num
+    # posting -> genome map per component (precomputed once)
+    prows = []
+    for c in range(ref.stat.comp_num):
+        lens = np.diff(ref.index[c].astype(np.int64))
+        prows.append(np.repeat(np.arange(nref, dtype=np.int32), lens))
+
+    for qn in range(qry.stat.infile_num):
+        counts = np.zeros(nref, dtype=np.int64)
+        matched: list[tuple[np.ndarray, np.ndarray]] = []  # per comp (mask, ab)
+        for c in range(ref.stat.comp_num):
+            qids = qry.genome_ids(c, qn)
+            qab = qry.genome_abund(c, qn)
+            order = np.argsort(qids, kind="stable")
+            qids_s, qab_s = qids[order], qab[order]
+            if qids_s.size == 0 or ref.ids[c].size == 0:
+                matched.append((np.zeros(ref.ids[c].size, bool),
+                                np.zeros(ref.ids[c].size, np.uint16)))
+                continue
+            if use_device:
+                m, ab = _match_abund(jnp.asarray(qids_s), jnp.asarray(qab_s),
+                                     jnp.asarray(ref.ids[c]))
+                m, ab = np.asarray(m), np.asarray(ab)
+            else:
+                pos = np.searchsorted(qids_s, ref.ids[c])
+                pos = np.minimum(pos, qids_s.size - 1)
+                m = qids_s[pos] == ref.ids[c]
+                ab = np.where(m, qab_s[pos], 0)
+            matched.append((m, ab))
+            counts += np.bincount(prows[c][m], minlength=nref)
+
+        # sort refs by shared count desc, ties stable (glibc mergesort)
+        order = np.argsort(-counts, kind="stable")
+        binvecs: list[tuple[int, np.float32]] = []
+        binvec_sum = np.float32(0.0)
+        for rn_i in order:
+            kmer_num = int(counts[rn_i])
+            if kmer_num < min_km_s:
+                break
+            ab_list = np.concatenate([
+                matched[c][1][(prows[c] == rn_i) & matched[c][0]]
+                for c in range(ref.stat.comp_num)]).astype(np.int64)
+            total, avg, avg9899, median, mx = _profile_stats(ab_list)
+            if binvec:
+                if median > 1 and kmer_num > min_km_s + 1:
+                    binvecs.append((int(rn_i), avg9899))
+                    binvec_sum += avg9899
+            else:
+                out.write(f"{qry.stat.names[qn]}\t{ref.stat.names[rn_i]}\t"
+                          f"{kmer_num}\t{avg:f}\t{avg9899:f}\t{median}\t"
+                          f"{mx}\n")
+        if binvec:
+            num_pass = len(binvecs)
+            idxs = np.array([b[0] for b in binvecs], dtype=np.int32)
+            pcts = np.array([b[1] for b in binvecs], dtype=np.float32)
+            pcts = (pcts - np.float32(1.0)) * np.float32(100.0) / \
+                (binvec_sum - np.float32(num_pass))
+            if outdir and len(outdir) >= 3:
+                vdir = outdir
+            else:
+                vdir = os.path.join(refdir, BINVEC_DIRNAME)
+            os.makedirs(vdir, exist_ok=True)
+            base = os.path.basename(qry.stat.names[qn])
+            write_abv_file(os.path.join(vdir, base + ".abv"), idxs, pcts)
+
+
+# --------------------------------------------------------------------------
+# abv index + search
+# --------------------------------------------------------------------------
+
+def index_abv(refdir: str, abv_dir: str | None = None,
+              file_order: list[str] | None = None) -> AbvIndex:
+    """Build the abundance-vector column index
+    (reference index_abv, command_composite.c:351-438).
+
+    File order defaults to sorted names (the reference uses readdir
+    order, which is filesystem-dependent); pass file_order to replicate a
+    specific enumeration.
+    """
+    ref_stat = CoStat.read(refdir)
+    adir = abv_dir or os.path.join(refdir, BINVEC_DIRNAME)
+    names = file_order or sorted(
+        f for f in os.listdir(adir) if f.endswith(".abv"))
+    nspecies = ref_stat.infile_num
+    per_species: list[list[tuple[int, float]]] = [[] for _ in range(nspecies)]
+    y_l2n = np.zeros(len(names))
+    for si, fname in enumerate(names):
+        idxs, pcts = read_abv_file(os.path.join(adir, fname))
+        # sequential (not pairwise) double accumulation, matching the
+        # reference's per-record loop (command_composite.c:393-395)
+        sq = (pcts.astype(np.float64) ** 2)
+        y_l2n[si] = math.sqrt(float(sq.cumsum()[-1]) if sq.size else 0.0)
+        for d, p in zip(idxs.tolist(), pcts.tolist()):
+            per_species[d].append((si, p))
+    counts = np.array([len(p) for p in per_species], dtype=np.int32)
+    flat_idx = np.array([si for sp in per_species for si, _ in sp],
+                        dtype=np.int32)
+    flat_pct = np.array([p for sp in per_species for _, p in sp],
+                        dtype=np.float32)
+    index = AbvIndex(names=names, y_l2n=y_l2n,
+                     abmi=np.cumsum(counts).astype(np.int32),
+                     abm_idx=flat_idx, abm_pct=flat_pct)
+    index.write(refdir)
+    return index
+
+
+def abv_search(refdir: str, queries: list[str], mode: int = 0,
+               out=None) -> None:
+    """Search abundance vectors (reference abv_search,
+    command_composite.c:217-348).  mode: 0 cosine, 1 L1, 2 L2."""
+    import sys
+    out = out or sys.stdout
+    idx = AbvIndex.read(refdir)
+    nsamples = len(idx.names)
+    starts = np.concatenate([[0], idx.abmi]).astype(np.int64)
+
+    for qpath in queries:
+        if not qpath.endswith(".abv"):
+            print(f"argument {qpath} is not a .abv file, skipped")
+            continue
+        if "/" not in qpath:
+            qpath2 = os.path.join(refdir, BINVEC_DIRNAME, qpath)
+        else:
+            qpath2 = qpath
+        qidx, qpct = read_abv_file(qpath2)
+        measure = np.full(nsamples, np.float32(-2.0), dtype=np.float32)
+        xsum = np.zeros(nsamples, dtype=np.float32)
+        ysum = np.zeros(nsamples, dtype=np.float32)
+        seen_order: list[int] = []
+        seen = np.zeros(nsamples, dtype=bool)
+        xl2n = np.float32(0.0)
+        for d, x in zip(qidx.tolist(), qpct.tolist()):
+            x = np.float32(x)
+            xl2n += x * x
+            lo, hi = int(starts[d]), int(starts[d + 1])
+            sids = idx.abm_idx[lo:hi]
+            ys = idx.abm_pct[lo:hi]
+            new = ~seen[sids]
+            if new.any():
+                measure[sids[new]] = 0.0
+                for s in sids[new].tolist():
+                    seen_order.append(s)
+                seen[sids[new]] = True
+            if mode == 1:
+                measure[sids] += np.float32(np.abs(ys.astype(np.float64)
+                                                   - float(x))).astype(np.float32)
+                xsum[sids] += x
+                ysum[sids] += ys
+            elif mode == 2:
+                measure[sids] += (ys - x) * (ys - x)
+            else:
+                measure[sids] += ys * x
+        ids = np.array(seen_order, dtype=np.int64)
+        if mode == 0:
+            measure[ids] = measure[ids] / np.float32(
+                math.sqrt(float(xl2n))) / idx.y_l2n[ids].astype(np.float32)
+        out.write("#Sample\t")
+        if mode == 1:
+            measure[ids] += (np.float32(200.0) - xsum[ids] - ysum[ids])
+            order = ids[np.argsort(measure[ids], kind="stable")]
+            out.write("L1norm\n")
+            for s in order:
+                out.write(f"{idx.names[s]}\t{measure[s]:f}\n")
+        elif mode == 2:
+            order = ids[np.argsort(measure[ids], kind="stable")]
+            out.write("L2norm\n")
+            for s in order:
+                out.write(f"{idx.names[s]}\t{math.sqrt(float(measure[s])):f}\n")
+        else:
+            order = ids[np.argsort(measure[ids], kind="stable")][::-1]
+            out.write("CosineXY\n")
+            for s in order:
+                out.write(f"{idx.names[s]}\t{measure[s]:f}\n")
+
+
+def read_abv(path: str, out=None) -> None:
+    import sys
+    out = out or sys.stdout
+    idxs, pcts = read_abv_file(path)
+    for i, p in zip(idxs.tolist(), pcts.tolist()):
+        out.write(f"{i}\t{np.float32(p):f}\n")
+
+
+# --------------------------------------------------------------------------
+# batched dense MXU search (TPU performance path)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DenseAbv:
+    """Dense [nsamples, nspecies] float32 matrix of an abv database."""
+    names: list[str]
+    mat: jnp.ndarray
+    y_l2n: jnp.ndarray
+
+    @classmethod
+    def from_index(cls, idx: AbvIndex, nspecies: int) -> "DenseAbv":
+        m = np.zeros((len(idx.names), nspecies), dtype=np.float32)
+        starts = np.concatenate([[0], idx.abmi]).astype(np.int64)
+        for d in range(nspecies):
+            lo, hi = int(starts[d]), int(starts[d + 1])
+            m[idx.abm_idx[lo:hi], d] = idx.abm_pct[lo:hi]
+        return cls(idx.names, jnp.asarray(m),
+                   jnp.asarray(idx.y_l2n.astype(np.float32)))
+
+
+@jax.jit
+def _dense_l2_overlap(db: jnp.ndarray, q: jnp.ndarray):
+    """Reference L2 semantics — sum over *overlapping* dims of (x-y)^2 —
+    as three masked MXU matmuls: sum_ov(x-y)^2 = sum x^2[y!=0]
+    + sum y^2[x!=0] - 2<x,y>."""
+    ymask = (db != 0).astype(jnp.float32)
+    qmask = (q != 0).astype(jnp.float32)
+    dot = jnp.dot(q, db.T, preferred_element_type=jnp.float32)
+    q2y = jnp.dot(q * q, ymask.T, preferred_element_type=jnp.float32)
+    y2x = jnp.dot(qmask, (db * db).T, preferred_element_type=jnp.float32)
+    return q2y + y2x - 2.0 * dot
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dense_cosine_topk(db: jnp.ndarray, y_l2n: jnp.ndarray, q: jnp.ndarray,
+                       k: int):
+    dot = jnp.dot(q, db.T, preferred_element_type=jnp.float32)
+    xnorm = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+    cos = dot / (xnorm * y_l2n[None, :])
+    return jax.lax.top_k(cos, k)
+
+
+def abv_search_batch_cosine(dense: DenseAbv, queries: np.ndarray,
+                            top_k: int = 10):
+    """Batched cosine search over the dense DB: returns (scores, ids)."""
+    scores, ids = _dense_cosine_topk(dense.mat, dense.y_l2n,
+                                     jnp.asarray(queries),
+                                     min(top_k, len(dense.names)))
+    return np.asarray(scores), np.asarray(ids)
