@@ -43,6 +43,22 @@ class DimShuffle:
         pf = (self.shuffled_dim[tups] - p.dim_start).astype(np.uint32)
         return tups, pf
 
+    def accept_bitmask(self) -> np.ndarray:
+        """Exact membership bitmask over the 16**subk substring space
+        (2 MiB for subk=6): bit d set iff dim_tup d is accepted.  This is
+        what the device filter gathers — one word per window."""
+        p = self.params
+        tups, _ = self.accept_table()
+        mask = np.zeros((p.shuf_len + 31) // 32, dtype=np.uint32)
+        np.bitwise_or.at(mask, tups >> 5,
+                         np.uint32(1) << (tups & np.uint32(31)))
+        return mask
+
+    def device_tables(self):
+        """(accept_tups, pfilters, accept_bitmask) ready for the kernels."""
+        tups, pf = self.accept_table()
+        return tups, pf, self.accept_bitmask()
+
     def reverse_array(self) -> np.ndarray:
         """pfilter -> dim_tup inverse map (reference command_reverse.c:242-250)."""
         keep = self.shuffled_dim < MIN_SUBCTX_DIM_SMP_SZ

@@ -1,0 +1,93 @@
+"""ctypes bindings for the native C++ sequence parser (native/fastseq.cpp).
+
+Auto-builds libfastseq.so on first use when a compiler is available;
+falls back silently to the NumPy parser otherwise (set
+MKSSD_NO_NATIVE=1 to force the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO, "native")
+_SO = os.path.join(_NATIVE_DIR, "libfastseq.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MKSSD_NO_NATIVE") == "1":
+        return None
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libfastseq.so"],
+                           check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.fastseq_parse_fasta.restype = ctypes.c_void_p
+    lib.fastseq_parse_fasta.argtypes = [ctypes.c_char_p]
+    lib.fastseq_parse_fastq.restype = ctypes.c_void_p
+    lib.fastseq_parse_fastq.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.fastseq_n_codes.restype = ctypes.c_int64
+    lib.fastseq_n_codes.argtypes = [ctypes.c_void_p]
+    lib.fastseq_n_starts.restype = ctypes.c_int64
+    lib.fastseq_n_starts.argtypes = [ctypes.c_void_p]
+    lib.fastseq_codes_ptr.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.fastseq_codes_ptr.argtypes = [ctypes.c_void_p]
+    lib.fastseq_starts_ptr.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.fastseq_starts_ptr.argtypes = [ctypes.c_void_p]
+    lib.fastseq_free.restype = None
+    lib.fastseq_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _extract(lib, h):
+    n = lib.fastseq_n_codes(h)
+    ns = lib.fastseq_n_starts(h)
+    codes = np.ctypeslib.as_array(lib.fastseq_codes_ptr(h),
+                                  shape=(n,)).copy()
+    starts = np.ctypeslib.as_array(lib.fastseq_starts_ptr(h),
+                                   shape=(ns,)).copy()
+    lib.fastseq_free(h)
+    return codes, starts
+
+
+def parse_fasta(path: str):
+    """(codes, header_positions) or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.fastseq_parse_fasta(path.encode())
+    if not h:
+        raise OSError(f"fastseq: cannot open {path}")
+    return _extract(lib, h)
+
+
+def parse_fastq(path: str, min_qual: int = 0):
+    """(codes, read_starts[nreads+1]) or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.fastseq_parse_fastq(path.encode(), min_qual)
+    if not h:
+        raise OSError(f"fastseq: cannot open {path}")
+    return _extract(lib, h)

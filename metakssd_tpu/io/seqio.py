@@ -58,6 +58,11 @@ def fasta_to_codes(path: str, return_headers: bool = False):
     markers in the code stream (sequence r spans
     ``(headers[r], headers[r+1])``) — used by per-read sketching.
     """
+    from metakssd_tpu.io import native
+    nat = native.parse_fasta(path) if native.available() else None
+    if nat is not None:
+        codes, headers = nat
+        return (codes, headers) if return_headers else codes
     with open_maybe_gz(path) as f:
         data = f.read()
     pos = 0
@@ -99,6 +104,12 @@ def fastq_to_codes(path: str, min_qual: int = 0,
     RESET in place (reference iseq2comem.c:365 compares the raw
     phred+33 byte to Q).
     """
+    if max_read_len is None:
+        from metakssd_tpu.io import native
+        nat = native.parse_fastq(path, min_qual) if native.available() \
+            else None
+        if nat is not None:
+            return nat
     seqs: list[bytes] = []
     quals: list[bytes] = []
     with open_maybe_gz(path) as f:

@@ -124,6 +124,58 @@ def _sketch_chunk(codes: jnp.ndarray, accept_tups: jnp.ndarray,
     return drtuple, keep
 
 
+@functools.partial(jax.jit, static_argnames=("k", "subk", "drlevel",
+                                             "nwin", "max_out"))
+def _sketch_chunk_compact(codes, accept_mask, accept_tups, pfilters, *,
+                          k, subk, drlevel, nwin, max_out):
+    """Fast compacting kernel.
+
+    The shuffle filter is ONE gather into the exact 2 MiB accept bitmask
+    (vs 12 binary-search gathers per window); survivors compact to the
+    front via sort_key_val; the reduced-substring code (pfilter) is then
+    looked up for at most ``max_out`` survivors.  Only survivors leave
+    the device.  Caller falls back to the full kernel if the survivor
+    count exceeds max_out.
+    """
+    TL = 2 * k
+    outctx = k - subk
+    assert k - drlevel <= 8
+
+    is_valid = codes < np.uint8(4)
+    c32 = jnp.where(is_valid, codes, 0).astype(jnp.uint32)
+    fwd_hi, fwd_lo, rc_hi, rc_lo = _window_tuples(c32, nwin, TL)
+    take_fwd = (fwd_hi < rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo <= rc_lo))
+    uni_hi = jnp.where(take_fwd, fwd_hi, rc_hi)
+    uni_lo = jnp.where(take_fwd, fwd_lo, rc_lo)
+
+    idx = jnp.arange(is_valid.shape[0], dtype=jnp.int32)
+    last_reset = jax.lax.cummax(jnp.where(is_valid, np.int32(-1), idx))
+    win_ok = jax.lax.dynamic_slice(last_reset, (TL - 1,), (nwin,)) < \
+        jnp.arange(nwin, dtype=jnp.int32)
+
+    dim_tup = _extract_field(uni_hi, uni_lo, 2 * outctx, 4 * subk)
+    word = accept_mask[(dim_tup >> np.uint32(5)).astype(jnp.int32)]
+    hit = ((word >> (dim_tup & np.uint32(31))) & np.uint32(1)) != 0
+    keep = win_ok & hit
+
+    # drtuple without pfilter (pure vector ops)
+    top = _extract_field(uni_hi, uni_lo, 4 * k - 2 * outctx, 2 * outctx)
+    right = uni_lo & np.uint32((1 << (2 * outctx)) - 1) if outctx else \
+        jnp.zeros_like(uni_lo)
+    base = ((top << np.uint32(2 * outctx)) | right) << \
+        np.uint32(4 * (subk - drlevel))
+
+    # compact survivors to the front, sorted by dim_tup
+    skey = jnp.where(keep, dim_tup, jnp.uint32(0xFFFFFFFF))
+    skey_s, base_s = jax.lax.sort([skey, base], num_keys=1)
+    cand = skey_s[:max_out]
+    pos = jnp.searchsorted(accept_tups, cand, side="left",
+                           method="scan_unrolled")
+    pos = jnp.minimum(pos, accept_tups.shape[0] - 1)
+    dr = base_s[:max_out] + pfilters[pos]
+    return dr, jnp.sum(keep.astype(jnp.int32))
+
+
 def _bucket(n: int) -> int:
     for b in _CHUNK_BUCKETS:
         if n <= b:
@@ -149,9 +201,11 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
         return np.sort(dr)
 
     if accept is None:
-        accept = shuf.accept_table()
+        accept = shuf.device_tables()
     a_tups = jnp.asarray(accept[0])
     a_pf = jnp.asarray(accept[1])
+    a_mask = jnp.asarray(accept[2]) if len(accept) > 2 else \
+        jnp.asarray(shuf.accept_bitmask())
 
     TL = p.kmer_len
     n = codes.size
@@ -167,6 +221,16 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
         nwin = _bucket(nwin_real)
         chunk = np.full(nwin + TL - 1, 255, dtype=np.uint8)
         chunk[:nwin_real + TL - 1] = codes[start:start + nwin_real + TL - 1]
+        if not stream_order:
+            # compacting path: only survivors cross the device boundary
+            max_out = max(nwin >> 8, 1 << 12)
+            keys, count = _sketch_chunk_compact(
+                jnp.asarray(chunk), a_mask, a_tups, a_pf, k=p.k,
+                subk=p.subk, drlevel=p.drlevel, nwin=nwin, max_out=max_out)
+            count = int(count)
+            if count <= max_out:
+                out_keys.append(np.asarray(keys)[:count].astype(np.uint64))
+                continue
         key, keep = _sketch_chunk(
             jnp.asarray(chunk), a_tups, a_pf,
             k=p.k, subk=p.subk, drlevel=p.drlevel, nwin=nwin)

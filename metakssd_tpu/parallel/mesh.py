@@ -1,0 +1,145 @@
+"""Multi-chip execution: device meshes, sharded sketching and profiling.
+
+The reference parallelises with OpenMP threads + mmap'd files on one node
+(SURVEY §2.4); here the equivalents are jax.sharding meshes:
+
+  * read batches are data-parallel over the ``data`` axis (each device
+    sketches its shard of the code stream);
+  * the MarkerDB postings are sharded over the ``db`` axis (each device
+    scans its slice of the reference k-mer space);
+  * partial sketches merge with all_gather, coverage/shared-count
+    vectors merge with psum — deterministic integer reductions, so the
+    result is bit-identical to the single-device path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from metakssd_tpu.ops import sketch_xla
+
+UINT32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def make_mesh(n_data: int | None = None, n_db: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_db
+    dev = np.asarray(devices[:n_data * n_db]).reshape(n_data, n_db)
+    return Mesh(dev, axis_names=("data", "db"))
+
+
+def _sketch_shard(codes, accept_tups, pfilters, *, k, subk, drlevel,
+                  nwin, max_out):
+    """One device's shard: windows -> padded sorted survivor drtuples.
+
+    Survivors compact to the front via sort (non-survivors map to
+    UINT32_MAX); output is the first ``max_out`` sorted entries plus the
+    true count.  UINT32_MAX padding merges harmlessly downstream because
+    counts bound the valid prefix.
+    """
+    key, keep = sketch_xla._sketch_chunk.__wrapped__(
+        codes, accept_tups, pfilters, k=k, subk=subk, drlevel=drlevel,
+        nwin=nwin)
+    masked = jnp.where(keep, key, UINT32_MAX)
+    srt = jnp.sort(masked)
+    return srt[:max_out], jnp.sum(keep.astype(jnp.int32))
+
+
+def make_sharded_profile_step(mesh: Mesh, *, k: int, subk: int,
+                              drlevel: int, nwin: int, max_out: int,
+                              num_refs: int):
+    """Build the jitted multi-chip profiling step.
+
+    Inputs (global shapes):
+      codes        uint8[n_data, nwin + 2k - 1]  sharded over 'data'
+      accept_tups  uint32[A]                      replicated
+      pfilters     uint32[A]                      replicated
+      ref_ids      uint32[R]    sorted postings, sharded over 'db'
+      ref_gid      int32[R]     genome of each posting, sharded over 'db'
+
+    Returns uint32[num_refs] shared-k-mer counts (replicated) — the
+    coverage accumulator of composite profiling / the one-query column of
+    the dist matrix.
+    """
+    TL = 2 * k
+
+    def step(codes, accept_tups, pfilters, ref_ids, ref_gid):
+        # --- per-device sketch of this read shard ---
+        my_keys, my_count = _sketch_shard(
+            codes[0], accept_tups, pfilters, k=k, subk=subk,
+            drlevel=drlevel, nwin=nwin, max_out=max_out)
+        # --- merge partial sketches across the data axis ---
+        all_keys = jax.lax.all_gather(my_keys, "data", tiled=True)
+        merged = jnp.sort(all_keys)
+        # global unique: first occurrence of each value in sorted order
+        prev = jnp.concatenate([jnp.full((1,), UINT32_MAX, jnp.uint32),
+                                merged[:-1]])
+        is_first = (merged != prev) & (merged != UINT32_MAX)
+        uniq = jnp.where(is_first, merged, UINT32_MAX)
+        uniq = jnp.sort(uniq)          # unique values front, pad back
+        # --- scan this device's slice of the reference postings ---
+        pos = jnp.searchsorted(uniq, ref_ids, side="left")
+        pos = jnp.minimum(pos, uniq.shape[0] - 1)
+        hit = (uniq[pos] == ref_ids) & (ref_ids != UINT32_MAX)
+        partial = jax.ops.segment_sum(hit.astype(jnp.uint32), ref_gid,
+                                      num_segments=num_refs)
+        # --- merge across the db axis (and replicate over data) ---
+        return jax.lax.psum(partial, ("db",))
+
+    spec_in = (P("data", None), P(), P(), P("db"), P("db"))
+    spec_out = P()
+    from jax import shard_map
+    sharded = shard_map(step, mesh=mesh, in_specs=spec_in,
+                        out_specs=spec_out, check_vma=False)
+    return jax.jit(sharded)
+
+
+def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,
+                   max_out_per_device: int = 1 << 16) -> np.ndarray:
+    """Sketch one code stream data-parallel over the mesh; returns the
+    sorted drtuple multiset (duplicates preserved), identical to the
+    single-device sketch_codes output."""
+    p = shuf.params
+    TL = p.kmer_len
+    n_data = mesh.shape["data"]
+    nwin_total = max(codes.size - TL + 1, 0)
+    nwin = -(-nwin_total // n_data)
+    nwin = max(nwin, 1)
+    # build overlapping shards [n_data, nwin + TL - 1]
+    shard_len = nwin + TL - 1
+    arr = np.full((n_data, shard_len), 255, dtype=np.uint8)
+    for d in range(n_data):
+        start = d * nwin
+        seg = codes[start:start + shard_len]
+        arr[d, :seg.size] = seg
+    accept = shuf.accept_table()
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(codes_sh, at, pf):
+        from jax import shard_map
+
+        def fn(c, a, f):
+            keys, cnt = _sketch_shard(c[0], a, f, k=p.k, subk=p.subk,
+                                      drlevel=p.drlevel, nwin=nwin,
+                                      max_out=max_out_per_device)
+            return keys[None], cnt[None]
+
+        return shard_map(fn, mesh=mesh,
+                         in_specs=(P("data", None), P(), P()),
+                         out_specs=(P("data", None), P("data")),
+                         check_vma=False)(codes_sh, at, pf)
+
+    keys, counts = run(jnp.asarray(arr), jnp.asarray(accept[0]),
+                       jnp.asarray(accept[1]))
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    out = np.concatenate([keys[d, :counts[d]] for d in range(n_data)])
+    out.sort()
+    return out.astype(np.uint64)

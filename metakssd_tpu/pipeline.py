@@ -109,7 +109,7 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
     """Sketch all inputs and write the combined sketch directory."""
     opts = opts or SketchOptions()
     p = shuf.params
-    accept = shuf.accept_table()
+    accept = shuf.device_tables()
 
     koc = opts.abundance
     if koc and any(seqio.sniff_format(f) != "fastq" for f in inputs):

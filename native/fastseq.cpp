@@ -1,0 +1,157 @@
+// fastseq — native sequence ingestion for metakssd_tpu.
+//
+// Parses fasta/fastq (plain or gzip) into the 2-bit code stream consumed
+// by the device sketch kernels: bytes 0-3 = A/C/G/T (case-insensitive),
+// 255 = window reset (header, N/any other char, record boundary,
+// quality-filtered base).  Semantics mirror metakssd_tpu/io/seqio.py,
+// which mirrors the reference per-char loop (reference iseq2comem.c:
+// 240-311: newlines don't reset, any non-ACGT char does).
+//
+// Exposed via a C ABI for ctypes.  Build: make -C native
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t RESET = 255;
+
+struct LUT {
+    uint8_t m[256];
+    LUT() {
+        memset(m, RESET, sizeof(m));
+        m[(unsigned)'A'] = m[(unsigned)'a'] = 0;
+        m[(unsigned)'C'] = m[(unsigned)'c'] = 1;
+        m[(unsigned)'G'] = m[(unsigned)'g'] = 2;
+        m[(unsigned)'T'] = m[(unsigned)'t'] = 3;
+    }
+};
+const LUT kLut;
+
+// Streamed line reader over gzFile (zlib transparently handles plain files).
+class LineReader {
+  public:
+    explicit LineReader(const char* path)
+        : f_(gzopen(path, "rb")), buf_(1 << 20), len_(0), pos_(0) {}
+    ~LineReader() { if (f_) gzclose(f_); }
+    bool ok() const { return f_ != nullptr; }
+
+    // Returns pointer+length of next line (no trailing \n / \r), or
+    // nullptr at EOF.  The pointer is valid until the next call.
+    const char* next(size_t* out_len) {
+        line_.clear();
+        for (;;) {
+            if (pos_ >= len_) {
+                int n = gzread(f_, buf_.data(), (unsigned)buf_.size());
+                if (n <= 0) {
+                    if (line_.empty()) return nullptr;
+                    break;
+                }
+                len_ = (size_t)n;
+                pos_ = 0;
+            }
+            char* nl = (char*)memchr(buf_.data() + pos_, '\n', len_ - pos_);
+            size_t chunk = nl ? (size_t)(nl - (buf_.data() + pos_))
+                              : len_ - pos_;
+            line_.append(buf_.data() + pos_, chunk);
+            pos_ += chunk + (nl ? 1 : 0);
+            if (nl) break;
+        }
+        size_t n = line_.size();
+        if (n && line_[n - 1] == '\r') n--;
+        *out_len = n;
+        return line_.data();
+    }
+
+  private:
+    gzFile f_;
+    std::vector<char> buf_;
+    size_t len_, pos_;
+    std::string line_;
+};
+
+struct ParseResult {
+    std::vector<uint8_t> codes;
+    std::vector<int64_t> starts;   // per-read start offsets (+ total)
+};
+
+void translate_append(std::vector<uint8_t>& out, const char* s, size_t n) {
+    size_t base = out.size();
+    out.resize(base + n);
+    for (size_t i = 0; i < n; i++)
+        out[base + i] = kLut.m[(uint8_t)s[i]];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Opaque handle API: parse into an internal result, query sizes, copy
+// out, free.
+void* fastseq_parse_fasta(const char* path) {
+    LineReader r(path);
+    if (!r.ok()) return nullptr;
+    auto* res = new ParseResult();
+    size_t n;
+    while (const char* line = r.next(&n)) {
+        if (n == 0) continue;
+        if (line[0] == '>') {
+            res->starts.push_back((int64_t)res->codes.size());
+            res->codes.push_back(RESET);
+            continue;
+        }
+        translate_append(res->codes, line, n);
+    }
+    return res;
+}
+
+void* fastseq_parse_fastq(const char* path, int min_qual) {
+    LineReader r(path);
+    if (!r.ok()) return nullptr;
+    auto* res = new ParseResult();
+    size_t n;
+    std::string seq;
+    for (;;) {
+        const char* h = r.next(&n);          // @header
+        if (!h) break;
+        const char* s = r.next(&n);          // sequence
+        if (!s) break;
+        seq.assign(s, n);
+        size_t slen = n;
+        r.next(&n);                          // +
+        const char* q = r.next(&n);          // quality
+        res->starts.push_back((int64_t)res->codes.size());
+        size_t base = res->codes.size();
+        translate_append(res->codes, seq.data(), slen);
+        if (min_qual > 0 && q && n == slen) {
+            for (size_t i = 0; i < slen; i++)
+                if ((uint8_t)q[i] < (uint8_t)min_qual)
+                    res->codes[base + i] = RESET;
+        }
+        res->codes.push_back(RESET);         // record separator
+    }
+    // sentinel: total length (read i spans starts[i]..starts[i+1])
+    res->starts.push_back((int64_t)res->codes.size());
+    return res;
+}
+
+int64_t fastseq_n_codes(void* h) {
+    return (int64_t)((ParseResult*)h)->codes.size();
+}
+int64_t fastseq_n_starts(void* h) {
+    return (int64_t)((ParseResult*)h)->starts.size();
+}
+const uint8_t* fastseq_codes_ptr(void* h) {
+    return ((ParseResult*)h)->codes.data();
+}
+const int64_t* fastseq_starts_ptr(void* h) {
+    return ((ParseResult*)h)->starts.data();
+}
+void fastseq_free(void* h) { delete (ParseResult*)h; }
+
+}  // extern "C"

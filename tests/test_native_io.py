@@ -1,0 +1,75 @@
+"""Native C++ parser vs the NumPy reference parser."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from metakssd_tpu.io import native, seqio
+from tests.util import random_seq, write_fasta, write_fastq, \
+    reads_from_genome
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native parser unavailable")
+
+
+def _py_fasta(path):
+    os.environ["MKSSD_NO_NATIVE"] = "1"
+    native._tried, native._lib = True, None
+    try:
+        return seqio.fasta_to_codes(path, return_headers=True)
+    finally:
+        del os.environ["MKSSD_NO_NATIVE"]
+        native._tried = False
+
+
+def _py_fastq(path, q=0):
+    os.environ["MKSSD_NO_NATIVE"] = "1"
+    native._tried, native._lib = True, None
+    try:
+        return seqio.fastq_to_codes(path, min_qual=q)
+    finally:
+        del os.environ["MKSSD_NO_NATIVE"]
+        native._tried = False
+
+
+@needs_native
+def test_native_fasta_matches_python(tmp_path):
+    rng = np.random.default_rng(0)
+    fa = str(tmp_path / "x.fa")
+    write_fasta(fa, [random_seq(rng, 5000, n_prob=0.01),
+                     random_seq(rng, 3333)])
+    nc, nh = native.parse_fasta(fa)
+    pc, ph = _py_fasta(fa)
+    np.testing.assert_array_equal(nc, pc)
+    np.testing.assert_array_equal(nh, ph)
+
+
+@needs_native
+def test_native_fasta_gz(tmp_path):
+    rng = np.random.default_rng(1)
+    fa = str(tmp_path / "x.fa")
+    write_fasta(fa, [random_seq(rng, 4000)])
+    gz = fa + ".gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(open(fa, "rb").read())
+    nc, _ = native.parse_fasta(gz)
+    pc, _ = _py_fasta(fa)
+    np.testing.assert_array_equal(nc, pc)
+
+
+@needs_native
+def test_native_fastq_matches_python(tmp_path):
+    rng = np.random.default_rng(2)
+    g = random_seq(rng, 8000)
+    reads = reads_from_genome(rng, g, 300, 90)
+    quals = ["".join(chr(int(q)) for q in rng.integers(33, 74, len(r)))
+             for r in reads]
+    fq = str(tmp_path / "x.fq")
+    write_fastq(fq, reads, quals)
+    for q in (0, 53):
+        nc, ns = native.parse_fastq(fq, q)
+        pc, ps = _py_fastq(fq, q)
+        np.testing.assert_array_equal(nc, pc, err_msg=f"q={q}")
+        np.testing.assert_array_equal(ns, ps, err_msg=f"q={q}")
