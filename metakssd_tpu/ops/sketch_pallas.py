@@ -1,0 +1,225 @@
+"""Fused Pallas TPU kernel for KSSD window decomposition.
+
+Why: the XLA path's per-window accept-bitmask lookup lowers to a scalar
+HBM gather (~100M lookups/s, the dominant cost).  Here the whole filter
+runs in VMEM: the sorted accept table (dim_end entries, 16 KiB at the
+default 4096) lives on-chip and every lookup is a branchless binary
+search whose per-step table read is a *lane* dynamic-gather (a native
+VPU shuffle), giving >1G windows/s of filter throughput.
+
+Layout: windows are laid out column-major in [R, 128] tiles — lane l of
+a block owns the R consecutive windows [l*R, (l+1)*R) — so the sliding
+k-mer window build becomes cheap sublane shifts (static slices), never a
+cross-lane shuffle.  The host-side restructure is two reshapes and a
+transpose in XLA (bandwidth-bound, no gathers).
+
+The kernel emits per-window (drtuple, keep); compaction stays in XLA as
+a sort (survivors ~1/4096).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RWIN = 512            # windows per lane per block (block = 128*RWIN windows)
+LANES = 128
+
+
+def _ext(TL: int) -> int:
+    """Overlap rows, rounded up for sublane alignment."""
+    return -(-(TL - 1) // 8) * 8
+
+
+def _lookup(tab_rows: list, pos):
+    """table[pos] for a sorted table held as a list of [128] rows in
+    registers/VMEM; pos int32 in [0, 128*len(rows)).  One lane-gather +
+    select per row."""
+    col = pos & 127
+    row = pos >> 7
+    res = jnp.zeros(pos.shape, dtype=tab_rows[0].dtype)
+    for v, rowvals in enumerate(tab_rows):
+        bc = jnp.broadcast_to(rowvals[None, :], pos.shape)
+        g = jnp.take_along_axis(bc, col, axis=1)
+        res = jnp.where(row == v, g, res)
+    return res
+
+
+def _kernel(c_ref, accept_ref, pfil_ref, dr_ref, keep_ref, *,
+            k: int, subk: int, drlevel: int, n_accept: int):
+    TL = 2 * k
+    outctx = k - subk
+    ext = _ext(TL)
+
+    c = c_ref[0]                       # [RWIN+ext, 128] int32; 4 = invalid
+    code = (c & 3).astype(jnp.uint32)
+
+    fwd_hi = jnp.zeros((RWIN, LANES), jnp.uint32)
+    fwd_lo = jnp.zeros((RWIN, LANES), jnp.uint32)
+    rc_hi = jnp.zeros((RWIN, LANES), jnp.uint32)
+    rc_lo = jnp.zeros((RWIN, LANES), jnp.uint32)
+    invalid = jnp.zeros((RWIN, LANES), jnp.bool_)
+    for j in range(TL):
+        seg = code[j:j + RWIN, :]
+        invalid = invalid | (c[j:j + RWIN, :] >= 4)
+        fpos = 2 * (TL - 1 - j)
+        if fpos >= 32:
+            fwd_hi = fwd_hi | (seg << np.uint32(fpos - 32))
+        else:
+            fwd_lo = fwd_lo | (seg << np.uint32(fpos))
+        rseg = seg ^ np.uint32(3)
+        rpos = 2 * j
+        if rpos >= 32:
+            rc_hi = rc_hi | (rseg << np.uint32(rpos - 32))
+        else:
+            rc_lo = rc_lo | (rseg << np.uint32(rpos))
+
+    take_fwd = (fwd_hi < rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo <= rc_lo))
+    uni_hi = jnp.where(take_fwd, fwd_hi, rc_hi)
+    uni_lo = jnp.where(take_fwd, fwd_lo, rc_lo)
+
+    # inner substring
+    s = 2 * outctx
+    bits = 4 * subk
+    if s == 0:
+        dim = uni_lo
+    elif s < 32:
+        dim = (uni_lo >> np.uint32(s)) | (uni_hi << np.uint32(32 - s))
+    else:
+        dim = uni_hi >> np.uint32(s - 32)
+    if bits < 32:
+        dim = dim & np.uint32((1 << bits) - 1)
+
+    # branchless binary search over the sorted accept table
+    rows = [accept_ref[v, :] for v in range(n_accept // LANES)]
+    prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
+    pos = jnp.zeros((RWIN, LANES), jnp.int32)
+    step = n_accept // 2
+    while step >= 1:
+        mid = pos + step - 1
+        val = _lookup(rows, mid)
+        pos = jnp.where(val < dim, pos + step, pos)
+        step //= 2
+    clamped = jnp.minimum(pos, n_accept - 1)
+    hit = (_lookup(rows, clamped) == dim) & (pos < n_accept)
+    pf = _lookup(prow, clamped)
+
+    # drtuple
+    top_s = 4 * k - 2 * outctx
+    if top_s == 0:
+        top = uni_lo
+    elif top_s < 32:
+        top = (uni_lo >> np.uint32(top_s)) | (uni_hi << np.uint32(32 - top_s))
+    else:
+        top = uni_hi >> np.uint32(top_s - 32)
+    if 2 * outctx < 32:
+        top = top & np.uint32((1 << (2 * outctx)) - 1)
+    right = uni_lo & np.uint32((1 << (2 * outctx)) - 1) if outctx else \
+        jnp.zeros_like(uni_lo)
+    base = ((top << np.uint32(2 * outctx)) | right) << \
+        np.uint32(4 * (subk - drlevel))
+    dr = base + pf
+
+    keep = (~invalid) & hit
+    dr_ref[0] = jnp.where(keep, dr, jnp.uint32(0xFFFFFFFF))
+    keep_ref[0] = keep.astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "subk", "drlevel", "nblocks",
+                                    "n_accept", "interpret"))
+def sketch_tiles_pallas(tiles, accept2d, pfil2d, *, k, subk, drlevel,
+                        nblocks, n_accept, interpret=False):
+    """tiles int32[nblocks, RWIN+ext, 128] -> (dr, keep) per window."""
+    TL = 2 * k
+    ext = _ext(TL)
+    kern = functools.partial(_kernel, k=k, subk=subk, drlevel=drlevel,
+                             n_accept=n_accept)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, RWIN + ext, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RWIN, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RWIN, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks, RWIN, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, RWIN, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tiles, accept2d, pfil2d)
+
+
+@functools.partial(jax.jit, static_argnames=("nblocks", "TL"))
+def _restructure(c32_flat, *, nblocks, TL):
+    """Flat per-base int32 codes (invalid=4) -> column-major window tiles
+    [nblocks, RWIN+ext, 128]; pure reshape/transpose, no gathers."""
+    ext = _ext(TL)
+    S = nblocks * LANES
+    M = S * RWIN
+    pad_len = M + RWIN + ext - c32_flat.shape[0]
+    c2 = jnp.concatenate([
+        c32_flat, jnp.full((max(pad_len, 0),), 4, jnp.int32)])
+    v0 = c2[:M].reshape(S, RWIN)
+    v1 = c2[RWIN:M + RWIN].reshape(S, RWIN)[:, :ext]
+    strips = jnp.concatenate([v0, v1], axis=1)        # [S, RWIN+ext]
+    return strips.reshape(nblocks, LANES, RWIN + ext).transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def _compact(dr, keep, max_out: int):
+    flat = dr.reshape(-1)
+    srt = jnp.sort(flat)
+    return srt[:max_out], jnp.sum(keep)
+
+
+def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
+                        interpret: bool = False):
+    """codes uint8 -> (sorted survivor drtuples uint32, count) on device.
+
+    Returns None if the configuration is unsupported (fallback to the
+    XLA path): k - drlevel > 8 or accept table not lane-aligned.
+    """
+    p = shuf.params
+    TL = p.kmer_len
+    if p.k - p.drlevel > 8:
+        return None
+    if accept is None:
+        accept = shuf.device_tables()
+    a_tups, a_pf = accept[0], accept[1]
+    n_accept = a_tups.size
+    if n_accept % LANES != 0 or n_accept < LANES:
+        return None
+
+    nwin = max(codes.size - TL + 1, 0)
+    nblocks = max(-(-nwin // (RWIN * LANES)), 1)
+    c32 = np.where(codes < 4, codes, 4).astype(np.int32)
+    tiles = _restructure(jnp.asarray(c32), nblocks=nblocks, TL=TL)
+    dr, keep = sketch_tiles_pallas(
+        tiles, jnp.asarray(a_tups.reshape(-1, LANES)),
+        jnp.asarray(a_pf.reshape(-1, LANES)),
+        k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
+        n_accept=n_accept, interpret=interpret)
+    max_out = max((nblocks * RWIN * LANES) >> 8, 1 << 12)
+    keys, count = _compact(dr, keep, max_out)
+    count = int(count)
+    if count > max_out:
+        full = np.asarray(dr.reshape(-1))
+        kp = np.asarray(keep.reshape(-1)).astype(bool)
+        out = full[kp]
+        out.sort()
+        return out, count
+    return np.asarray(keys)[:count], count

@@ -1,0 +1,32 @@
+"""Pallas fused kernel vs golden (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from metakssd_tpu.params import SketchParams
+from metakssd_tpu.formats.shuf import make_shuf
+from metakssd_tpu.ops import golden, sketch_pallas
+
+
+@pytest.mark.parametrize("k,subk,drlevel", [(8, 5, 2), (11, 6, 3)])
+def test_pallas_matches_golden(k, subk, drlevel):
+    rng = np.random.default_rng(k)
+    shuf = make_shuf(SketchParams(k=k, subk=subk, drlevel=drlevel), seed=k)
+    codes = rng.integers(0, 4, size=300_000).astype(np.uint8)
+    codes[rng.integers(0, codes.size, 200)] = 255
+    res = sketch_pallas.sketch_codes_pallas(codes, shuf, interpret=True)
+    assert res is not None
+    keys, count = res
+    gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
+    assert count == gold.size
+    np.testing.assert_array_equal(keys, gold)
+
+
+def test_pallas_small_input():
+    shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=1)
+    codes = np.array([0, 1, 2, 3] * 10, dtype=np.uint8)
+    res = sketch_pallas.sketch_codes_pallas(codes, shuf, interpret=True)
+    keys, count = res
+    gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
+    assert count == gold.size
+    np.testing.assert_array_equal(keys, gold)
