@@ -207,11 +207,90 @@ def _sketch_chunk_compact(packed, vmask, accept_mask, accept_tups,
     return dr, jnp.sum(keep.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "subk", "drlevel",
+                                             "nwin", "max_out"))
+def _sketch_chunk_compact_pos(packed, vmask, accept_mask, accept_tups,
+                              pfilters, *, k, subk, drlevel, nwin,
+                              max_out):
+    """Like _sketch_chunk_compact but also returns each survivor's
+    window position (enables genome attribution in batched multi-genome
+    sketching)."""
+    TL = 2 * k
+    outctx = k - subk
+    c32, is_valid = _unpack_codes(packed, vmask, nwin + TL - 1)
+    fwd_hi, fwd_lo, rc_hi, rc_lo = _window_tuples(c32, nwin, TL)
+    take_fwd = (fwd_hi < rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo <= rc_lo))
+    uni_hi = jnp.where(take_fwd, fwd_hi, rc_hi)
+    uni_lo = jnp.where(take_fwd, fwd_lo, rc_lo)
+    idx = jnp.arange(is_valid.shape[0], dtype=jnp.int32)
+    last_reset = jax.lax.cummax(jnp.where(is_valid, np.int32(-1), idx))
+    win_ok = jax.lax.dynamic_slice(last_reset, (TL - 1,), (nwin,)) < \
+        jnp.arange(nwin, dtype=jnp.int32)
+    dim_tup = _extract_field(uni_hi, uni_lo, 2 * outctx, 4 * subk)
+    word = accept_mask[(dim_tup >> np.uint32(5)).astype(jnp.int32)]
+    hit = ((word >> (dim_tup & np.uint32(31))) & np.uint32(1)) != 0
+    keep = win_ok & hit
+    top = _extract_field(uni_hi, uni_lo, 4 * k - 2 * outctx, 2 * outctx)
+    right = uni_lo & np.uint32((1 << (2 * outctx)) - 1) if outctx else \
+        jnp.zeros_like(uni_lo)
+    base = ((top << np.uint32(2 * outctx)) | right) << \
+        np.uint32(4 * (subk - drlevel))
+    skey = jnp.where(keep, dim_tup, jnp.uint32(0xFFFFFFFF))
+    wpos = jnp.arange(nwin, dtype=jnp.uint32)
+    skey_s, base_s, pos_s = jax.lax.sort([skey, base, wpos], num_keys=1)
+    cand = skey_s[:max_out]
+    p_ = jnp.searchsorted(accept_tups, cand, side="left",
+                          method="scan_unrolled")
+    p_ = jnp.minimum(p_, accept_tups.shape[0] - 1)
+    dr = base_s[:max_out] + pfilters[p_]
+    return dr, pos_s[:max_out], jnp.sum(keep.astype(jnp.int32))
+
+
 def _bucket(n: int, buckets=_CHUNK_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
             return b
     return buckets[-1]
+
+
+# Pallas auto-enable: on TPU the fused kernel is the fast path; a one-off
+# canary run cross-checks it against the XLA kernel and disables it on
+# any mismatch or compile failure (MKSSD_PALLAS=0 forces off, =1 forces
+# on without the canary).
+_PALLAS_STATE: dict = {"checked": False, "ok": False}
+
+
+def _pallas_usable(shuf, accept) -> bool:
+    import os
+    mode = os.environ.get("MKSSD_PALLAS", "auto")
+    if mode == "0":
+        return False
+    p = shuf.params
+    if p.k - p.drlevel > 8 or p.dim_end % 128 != 0:
+        return False
+    if mode == "1":
+        return True
+    if _PALLAS_STATE["checked"]:
+        return _PALLAS_STATE["ok"]
+    _PALLAS_STATE["checked"] = True
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            _PALLAS_STATE["ok"] = False
+            return False
+        from metakssd_tpu.ops import sketch_pallas
+        rng = np.random.default_rng(0)
+        canary = rng.integers(0, 4, size=1 << 16).astype(np.uint8)
+        res = sketch_pallas.sketch_codes_pallas(canary, shuf, accept=accept)
+        if res is None:
+            _PALLAS_STATE["ok"] = False
+            return False
+        from metakssd_tpu.ops import golden
+        gold = np.sort(golden.window_drtuples(canary, shuf)).astype(np.uint32)
+        _PALLAS_STATE["ok"] = (res[1] == gold.size and
+                               np.array_equal(res[0], gold))
+    except Exception:
+        _PALLAS_STATE["ok"] = False
+    return _PALLAS_STATE["ok"]
 
 
 def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
@@ -243,6 +322,12 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
     if n < TL:
         return (np.zeros(0, np.uint64) if not stream_order
                 else (np.zeros(0, np.int64), np.zeros(0, np.uint64)))
+
+    if not stream_order and _pallas_usable(shuf, accept):
+        from metakssd_tpu.ops import sketch_pallas
+        res = sketch_pallas.sketch_codes_pallas(codes, shuf, accept=accept)
+        if res is not None:
+            return res[0].astype(np.uint64)
 
     out_keys = []
     out_pos = []
@@ -290,6 +375,55 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
     dr = np.concatenate(out_keys) if out_keys else np.zeros(0, np.uint64)
     dr.sort()
     return dr
+
+
+def sketch_codes_with_positions(codes: np.ndarray, shuf: DimShuffle,
+                                accept=None
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """All accepted (drtuple, window position) pairs for a code stream.
+
+    Used by batched multi-genome sketching: many inputs concatenate into
+    one stream (RESET-separated) and survivors are attributed to genomes
+    by position on the host.  Duplicates preserved; unsorted.
+    """
+    p = shuf.params
+    if p.k - p.drlevel > 8:
+        pos, dr = sketch_codes(codes, shuf, accept=accept,
+                               stream_order=True)
+        return dr.astype(np.uint64), pos
+    if accept is None:
+        accept = shuf.device_tables()
+    a_tups = jnp.asarray(accept[0])
+    a_pf = jnp.asarray(accept[1])
+    a_mask = jnp.asarray(accept[2])
+    TL = p.kmer_len
+    n = codes.size
+    if n < TL:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    out_dr, out_pos = [], []
+    for start in range(0, max(n - TL + 1, 1), _MAX_COMPACT):
+        nwin_real = min(_MAX_COMPACT, n - TL + 1 - start)
+        nwin = _bucket(nwin_real, _COMPACT_BUCKETS)
+        chunk = np.full(nwin + TL - 1, 255, dtype=np.uint8)
+        chunk[:nwin_real + TL - 1] = codes[start:start + nwin_real + TL - 1]
+        max_out = max(nwin >> 8, 1 << 12)
+        packed, vmask = pack_codes(chunk)
+        dr, wpos, count = _sketch_chunk_compact_pos(
+            jnp.asarray(packed), jnp.asarray(vmask), a_mask, a_tups,
+            a_pf, k=p.k, subk=p.subk, drlevel=p.drlevel, nwin=nwin,
+            max_out=max_out)
+        count = int(count)
+        if count <= max_out:
+            out_dr.append(np.asarray(dr)[:count].astype(np.uint64))
+            out_pos.append(np.asarray(wpos)[:count].astype(np.int64) + start)
+        else:  # overflow: exact fallback via the full kernel
+            spos, sdr = sketch_codes(
+                codes[start:start + nwin_real + TL - 1], shuf,
+                accept=accept, stream_order=True)
+            out_dr.append(sdr)
+            out_pos.append(spos + start)
+    return (np.concatenate(out_dr) if out_dr else np.zeros(0, np.uint64),
+            np.concatenate(out_pos) if out_pos else np.zeros(0, np.int64))
 
 
 def sketch_to_sets(codes: np.ndarray, shuf: DimShuffle, mode: str = "set",

@@ -104,6 +104,37 @@ def sketch_byread(path: str, shuf: DimShuffle, out_dir: str,
         index.tofile(os.path.join(out_dir, f"combco.index.{c}"))
 
 
+def _batched_fasta_stage1(inputs: list[str], shuf: DimShuffle,
+                          opts: SketchOptions, accept):
+    """Sketch many fasta genomes in one device stream: inputs concatenate
+    (RESET-separated), survivors are attributed to genomes by window
+    position, then unique/dedup per genome on the host.  One big device
+    pass instead of one dispatch per file."""
+    from metakssd_tpu.ops.sketch_xla import sketch_codes_with_positions
+    p = shuf.params
+    chunks: list[np.ndarray] = []
+    bounds = np.zeros(len(inputs) + 1, dtype=np.int64)
+    for i, path in enumerate(inputs):
+        c = seqio.fasta_to_codes(path)
+        chunks.append(c)
+        chunks.append(np.full(1, 255, dtype=np.uint8))
+        bounds[i + 1] = bounds[i] + c.size + 1
+    codes = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+    dr, pos = sketch_codes_with_positions(codes, shuf, accept=accept)
+    gid = np.searchsorted(bounds, pos, side="right") - 1
+    per_genome = []
+    for g in range(len(inputs)):
+        mine = np.sort(dr[gid == g])
+        uniq, counts = np.unique(mine, return_counts=True)
+        if opts.dedup:
+            uniq = uniq[counts == 1]
+        comp = (uniq % np.uint64(p.component_num)).astype(np.int64)
+        ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
+        per_genome.append([(ids[comp == ci], None)
+                           for ci in range(p.component_num)])
+    return per_genome
+
+
 def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                opts: SketchOptions | None = None) -> CoStat:
     """Sketch all inputs and write the combined sketch directory."""
@@ -118,9 +149,15 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
         koc = False
         opts = dataclasses.replace(opts, abundance=False)
 
-    per_genome = []
-    for path in inputs:
-        per_genome.append(sketch_file(path, shuf, opts, accept=accept))
+    from metakssd_tpu.utils import TIMER
+    all_fasta = (len(inputs) > 1 and not koc and
+                 all(seqio.sniff_format(f) == "fasta" for f in inputs))
+    with TIMER.stage(f"stage1.sketch[{len(inputs)} files]"):
+        if all_fasta:
+            per_genome = _batched_fasta_stage1(inputs, shuf, opts, accept)
+        else:
+            per_genome = [sketch_file(path, shuf, opts, accept=accept)
+                          for path in inputs]
 
     ctx_ct = np.array(
         [sum(g[c][0].size for c in range(p.component_num))
