@@ -36,14 +36,22 @@ ED_PCTL = 0.99
 # profiling
 # --------------------------------------------------------------------------
 
-@jax.jit
-def _match_abund(qry_ids: jnp.ndarray, qry_ab: jnp.ndarray,
-                 ref_ids: jnp.ndarray):
-    """For each reference k-mer: (matched?, abundance)."""
-    pos = jnp.searchsorted(qry_ids, ref_ids, side="left")
-    pos = jnp.minimum(pos, max(qry_ids.shape[0] - 1, 0))
-    member = qry_ids[pos] == ref_ids
-    ab = jnp.where(member, qry_ab[pos], 0)
+def _match_abund(qry_ids_s: np.ndarray, qry_ab_s: np.ndarray,
+                 ref_ids: np.ndarray, order: np.ndarray,
+                 use_pallas=None) -> tuple[np.ndarray, np.ndarray]:
+    """For each reference k-mer (arbitrary order): (matched?, abundance).
+
+    ``order`` pre-sorts ref_ids so the merge-path kernel can run; results
+    scatter back to the original posting order.
+    """
+    from metakssd_tpu.ops import merge as merge_ops
+    m_s, v_s = merge_ops.sorted_membership(
+        qry_ids_s, qry_ab_s.astype(np.uint32), ref_ids[order],
+        use_pallas=use_pallas)
+    member = np.empty(ref_ids.size, dtype=bool)
+    ab = np.empty(ref_ids.size, dtype=np.uint32)
+    member[order] = m_s
+    ab[order] = v_s
     return member, ab
 
 
@@ -85,12 +93,15 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
               f"not match ref shuf_id: {ref.stat.shuf_id}", file=sys.stderr)
 
     nref = ref.stat.infile_num
-    # posting -> genome map per component (precomputed once)
-    prows = []
+    # posting -> genome map + sorted posting order per component
+    # (precomputed once per MarkerDB load)
+    prows, orders = [], []
     for c in range(ref.stat.comp_num):
         lens = np.diff(ref.index[c].astype(np.int64))
         prows.append(np.repeat(np.arange(nref, dtype=np.int32), lens))
+        orders.append(np.argsort(ref.ids[c], kind="stable"))
 
+    use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):
         counts = np.zeros(nref, dtype=np.int64)
         matched: list[tuple[np.ndarray, np.ndarray]] = []  # per comp (mask, ab)
@@ -103,15 +114,8 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
                 matched.append((np.zeros(ref.ids[c].size, bool),
                                 np.zeros(ref.ids[c].size, np.uint16)))
                 continue
-            if use_device:
-                m, ab = _match_abund(jnp.asarray(qids_s), jnp.asarray(qab_s),
-                                     jnp.asarray(ref.ids[c]))
-                m, ab = np.asarray(m), np.asarray(ab)
-            else:
-                pos = np.searchsorted(qids_s, ref.ids[c])
-                pos = np.minimum(pos, qids_s.size - 1)
-                m = qids_s[pos] == ref.ids[c]
-                ab = np.where(m, qab_s[pos], 0)
+            m, ab = _match_abund(qids_s, qab_s, ref.ids[c], orders[c],
+                                 use_pallas=use_pallas)
             matched.append((m, ab))
             counts += np.bincount(prows[c][m], minlength=nref)
 

@@ -36,42 +36,17 @@ ALP_SIZE = 4  # DNA (reference command_dist.c:554)
 # shared-k-mer counting
 # --------------------------------------------------------------------------
 
-@dataclasses.dataclass
-class RefIndex:
-    """Device-resident CSR postings for one component."""
-    kmers: jnp.ndarray        # uint32[nrows] sorted distinct
-    posting_row: jnp.ndarray  # int32[npost] row index of each posting
-    posting_gid: jnp.ndarray  # int32[npost]
-    num_refs: int
-
-    @classmethod
-    def from_inverted(cls, inv: mco_fmt.InvertedIndex, num_refs: int
-                      ) -> "RefIndex":
-        lens = np.diff(inv.offsets.astype(np.int64))
-        prow = np.repeat(np.arange(inv.kmers.size, dtype=np.int32), lens)
-        return cls(jnp.asarray(inv.kmers), jnp.asarray(prow),
-                   jnp.asarray(inv.gids.astype(np.int32)), num_refs)
-
-
-def _count_one_query(ref_kmers, posting_row, posting_gid, qry_ids, num_refs):
-    pos = jnp.searchsorted(qry_ids, ref_kmers, side="left")
-    pos = jnp.minimum(pos, max(qry_ids.shape[0] - 1, 0))
-    member = (qry_ids[pos] == ref_kmers) if qry_ids.shape[0] else \
-        jnp.zeros_like(ref_kmers, dtype=bool)
-    hit = member[posting_row].astype(jnp.uint32)
-    return jax.ops.segment_sum(hit, posting_gid, num_segments=num_refs)
-
-
-_count_one_query_j = jax.jit(_count_one_query, static_argnames=("num_refs",))
-
-
 def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
                        use_device: bool = True) -> np.ndarray:
     """uint32[qry_num, ref_num] shared-k-mer counts.
 
     ``ref`` may be a sketch dir (native path) or an mco dir written by
-    either toolchain.
+    either toolchain.  Membership of the (sorted, distinct) reference
+    k-mers in each query sketch runs through the merge-path kernel
+    (ops.merge) — the Pallas windowed search on TPU, vectorised
+    searchsorted elsewhere — followed by a posting-count reduction.
     """
+    from metakssd_tpu.ops import merge as merge_ops
     if isinstance(qry, str):
         qry = CoDir.read(qry, want_abund=False)
     ref_is_mco = isinstance(ref, str) and \
@@ -92,32 +67,22 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
 
     qnum = qry.stat.infile_num
     out = np.zeros((qnum, num_refs), dtype=np.uint32)
+    use_pallas = None if use_device else False
     for c in range(comp_num):
         inv = get_inv(c)
         if inv.kmers.size == 0:
             continue
-        if use_device:
-            ridx = RefIndex.from_inverted(inv, num_refs)
-            for q in range(qnum):
-                qids = np.sort(qry.genome_ids(c, q))
-                if qids.size == 0:
-                    continue
-                cnt = _count_one_query_j(ridx.kmers, ridx.posting_row,
-                                         ridx.posting_gid, jnp.asarray(qids),
-                                         num_refs=num_refs)
-                out[q] += np.asarray(cnt, dtype=np.uint32)
-        else:
-            lens = np.diff(inv.offsets.astype(np.int64))
-            prow = np.repeat(np.arange(inv.kmers.size), lens)
-            for q in range(qnum):
-                qids = np.sort(qry.genome_ids(c, q))
-                pos = np.searchsorted(qids, inv.kmers)
-                pos = np.minimum(pos, max(qids.size - 1, 0))
-                member = qids[pos] == inv.kmers if qids.size else \
-                    np.zeros(inv.kmers.size, bool)
-                hits = member[prow]
-                out[q] += np.bincount(inv.gids[hits],
-                                      minlength=num_refs).astype(np.uint32)
+        lens = np.diff(inv.offsets.astype(np.int64))
+        prow = np.repeat(np.arange(inv.kmers.size), lens)
+        for q in range(qnum):
+            qids = np.sort(qry.genome_ids(c, q))
+            if qids.size == 0:
+                continue
+            member, _ = merge_ops.sorted_membership(
+                qids, None, inv.kmers, use_pallas=use_pallas)
+            hits = member[prow]
+            out[q] += np.bincount(inv.gids[hits],
+                                  minlength=num_refs).astype(np.uint32)
     return out
 
 
