@@ -43,7 +43,7 @@ def _cmd_dist(args) -> int:
     opts = pipeline.SketchOptions(
         abundance=args.abundance, dedup=args.dedup,
         min_occ=args.LstKmerOcrs, min_qual=args.quality,
-        byread=args.byread)
+        byread=args.byread, pipecmd=args.pipecmd)
 
     def has(d, f):
         return os.path.isdir(d) and os.path.exists(os.path.join(d, f))
@@ -234,6 +234,9 @@ def build_parser() -> argparse.ArgumentParser:
     rv.add_argument("codir")
     rv.set_defaults(func=_cmd_reverse)
 
+    pr = sub.add_parser("primer", help=argparse.SUPPRESS)
+    pr.set_defaults(func=_cmd_primer)
+
     pp = sub.add_parser("postprocess",
                         help="ports of the reference Perl toolchain")
     pps = pp.add_subparsers(dest="pp_command", required=True)
@@ -249,6 +252,40 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--low-thr", type=float, default=1)
     ca.set_defaults(func=_cmd_pp_cami)
     return ap
+
+
+def _cmd_primer(args) -> int:
+    """Hidden dev utility: largest prime below each power of two
+    (reference global_wrapper.c:95-97, global_basic.c:424), via
+    deterministic Miller-Rabin for 64-bit range."""
+    def is_prime(n: int) -> bool:
+        if n < 2:
+            return False
+        for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            if n % p == 0:
+                return n == p
+        d, r = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            r += 1
+        for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+            x = pow(a, d, n)
+            if x in (1, n - 1):
+                continue
+            for _ in range(r - 1):
+                x = x * x % n
+                if x == n - 1:
+                    break
+            else:
+                return False
+        return True
+
+    for w in range(8, 52):
+        n = (1 << w) - 1
+        while not is_prime(n):
+            n -= 1
+        print(n)
+    return 0
 
 
 def _cmd_pp_poisson(args) -> int:

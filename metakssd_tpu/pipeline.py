@@ -31,6 +31,7 @@ class SketchOptions:
     min_occ: int = 1           # -n  (fastq least k-mer occurrence)
     min_qual: int = 0          # -Q  (fastq base-quality filter)
     byread: bool = False       # --byread (per-read sketching)
+    pipecmd: str = ""          # -P  (decompress/filter command -> fastq)
 
 
 def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]:
@@ -58,6 +59,15 @@ def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]
 def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
                 accept=None) -> list[tuple[np.ndarray, np.ndarray | None]]:
     """Sketch one input file into per-component (ids, counts)."""
+    if opts.pipecmd:
+        # reference treats piped input as fastq (command_dist.c:378)
+        codes, _ = seqio.pipecmd_to_codes(
+            opts.pipecmd, path,
+            min_qual=0 if opts.abundance else opts.min_qual)
+        mode = "koc" if opts.abundance else "occ"
+        return sketch_xla.sketch_to_sets(codes, shuf, mode=mode,
+                                         min_occ=opts.min_occ,
+                                         accept=accept)
     fmt = seqio.sniff_format(path)
     if fmt == "fastq":
         if opts.abundance:
@@ -150,7 +160,7 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
         opts = dataclasses.replace(opts, abundance=False)
 
     from metakssd_tpu.utils import TIMER
-    all_fasta = (len(inputs) > 1 and not koc and
+    all_fasta = (len(inputs) > 1 and not koc and not opts.pipecmd and
                  all(seqio.sniff_format(f) == "fasta" for f in inputs))
     with TIMER.stage(f"stage1.sketch[{len(inputs)} files]"):
         if all_fasta:
