@@ -97,7 +97,26 @@ def _bench_ours(fq: str, shufp: str) -> float:
     return N_READS / dt
 
 
+def _device_healthy(timeout_s: int = 90) -> bool:
+    """Probe device execution in a subprocess (a wedged TPU tunnel hangs
+    forever; the bench must always print its JSON line)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(int(jnp.arange(8).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"28" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_healthy():
+        import jax
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        print("bench: device unhealthy, falling back to CPU",
+              file=sys.stderr)
     fq, shufp = _prepare()
     ref_rps = _bench_reference(fq, shufp)
     best = 0.0
