@@ -21,8 +21,6 @@ import dataclasses
 import math
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from metakssd_tpu.formats.codir import CoDir

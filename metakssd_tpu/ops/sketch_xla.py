@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metakssd_tpu.params import SketchParams
 from metakssd_tpu.formats.shuf import DimShuffle
 
 SENTINEL = np.uint64(0xFFFF_FFFF_FFFF_FFFF)

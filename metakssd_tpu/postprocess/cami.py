@@ -6,7 +6,6 @@ shkm/avgpct9899 threshold constants, exposed here as arguments).
 
 from __future__ import annotations
 
-import math
 import sys
 
 RANKS = ("superkingdom", "phylum", "class", "order", "family", "genus",

@@ -15,7 +15,7 @@ import math
 import os
 import numpy as np
 
-from metakssd_tpu.formats.costat import CoStat, PATHLEN
+from metakssd_tpu.formats.costat import CoStat
 from metakssd_tpu.formats.codir import (CoDir, SKCH_PREFIX, IDX_PREFIX,
                                         PAN_PREFIX, UNIQ_PAN_PREFIX)
 from metakssd_tpu.params import LD_FCTR
