@@ -101,6 +101,66 @@ def make_sharded_profile_step(mesh: Mesh, *, k: int, subk: int,
     return jax.jit(sharded)
 
 
+def sharded_shared_counts(ref, qry, mesh: Mesh,
+                          use_data_axis: bool = False) -> np.ndarray:
+    """Multi-chip shared-k-mer matrix over real sketch artifacts.
+
+    The reference-side postings (k-mer, genome) are sharded over the
+    ``db`` mesh axis — each device scans its slice of the k-mer space —
+    while the query sketch is replicated; per-device partial counts
+    merge with an integer psum, making the result bit-identical to the
+    serial path.  This is the multi-chip deployment shape for MarkerDBs
+    larger than one device's HBM.
+    """
+    from metakssd_tpu.formats.codir import CoDir
+    from metakssd_tpu.formats import mco as mco_fmt
+
+    if isinstance(ref, str):
+        ref = CoDir.read(ref, want_abund=False)
+    if isinstance(qry, str):
+        qry = CoDir.read(qry, want_abund=False)
+    num_refs = ref.stat.infile_num
+    n_db = mesh.shape["db"]
+    out = np.zeros((qry.stat.infile_num, num_refs), dtype=np.uint32)
+
+    def step(post_k, post_g, qids):
+        pos = jnp.searchsorted(qids[0], post_k[0], side="left")
+        pos = jnp.minimum(pos, qids.shape[1] - 1)
+        hit = (qids[0][pos] == post_k[0]) & (post_g[0] >= 0)
+        partial = jax.ops.segment_sum(
+            hit.astype(jnp.uint32),
+            jnp.maximum(post_g[0], 0), num_segments=num_refs)
+        return jax.lax.psum(partial, ("db",))[None]
+
+    from jax import shard_map
+    stepf = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, "db"), P(None, "db"), P(None, None)),
+        out_specs=P(None, None), check_vma=False))
+
+    for c in range(ref.stat.comp_num):
+        inv = mco_fmt.InvertedIndex.from_codir(ref, c)
+        if inv.kmers.size == 0:
+            continue
+        lens = np.diff(inv.offsets.astype(np.int64))
+        post_k = np.repeat(inv.kmers, lens)
+        post_g = inv.gids.astype(np.int32)
+        npost = post_k.size
+        pad = -(-npost // n_db) * n_db - npost
+        post_k = np.concatenate([post_k,
+                                 np.zeros(pad, np.uint32)])[None]
+        post_g = np.concatenate([post_g,
+                                 np.full(pad, -1, np.int32)])[None]
+        for q in range(qry.stat.infile_num):
+            qids = np.sort(qry.genome_ids(c, q))
+            if qids.size == 0:
+                continue
+            cnt = stepf(jnp.asarray(post_k), jnp.asarray(post_g),
+                        jnp.asarray(qids[None]))
+            out[q] += np.asarray(cnt[0], dtype=np.uint32)
+    return out
+
+
 def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,
                    max_out_per_device: int = 1 << 16) -> np.ndarray:
     """Sketch one code stream data-parallel over the mesh; returns the

@@ -1,0 +1,40 @@
+"""Multi-chip shared-count matrix on real artifacts vs the serial path."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+from metakssd_tpu.params import SketchParams
+from metakssd_tpu import cli, dist
+from metakssd_tpu.parallel import mesh as pmesh
+
+from tests.util import random_seq, write_fasta
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_counts_match_serial(tmp_path):
+    rng = np.random.default_rng(0)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    genomes = [random_seq(rng, 30000) for _ in range(4)]
+    for i, g in enumerate(genomes):
+        write_fasta(str(gdir / f"g{i}.fa"), [g])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=11))
+    co_ref = str(tmp_path / "co_ref")
+    cli.main(["dist", "-L", shufp, "-o", co_ref, str(gdir)])
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    write_fasta(str(qdir / "q0.fa"), [genomes[1][:15000]])
+    write_fasta(str(qdir / "q1.fa"), [random_seq(rng, 12000)])
+    co_qry = str(tmp_path / "co_qry")
+    cli.main(["dist", "-L", shufp, "-o", co_qry, str(qdir)])
+
+    serial = dist.shared_kmer_matrix(co_ref, co_qry, use_device=False)
+    m = pmesh.make_mesh(n_data=1, n_db=8)
+    sharded = pmesh.sharded_shared_counts(co_ref, co_qry, m)
+    np.testing.assert_array_equal(serial, sharded)
+    assert serial.max() > 0
