@@ -81,7 +81,8 @@ def _cmd_dist(args) -> int:
             if not has(queries[0], CO_DSTAT):
                 sys.exit("query must be a sketch dir (run dist -L ... "
                          "<seqs> first)")
-            dist.run_dist_search(ref, queries[0], outdir, dopts)
+            dist.run_dist_search(ref, queries[0], outdir, dopts,
+                                 shard_db=args.shard_db)
         return 0
 
     # no -r: sketching only
@@ -194,6 +195,8 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("-f", "--skf", default="")
     di.add_argument("--byread", action="store_true")
     di.add_argument("--seed", type=int, default=None)
+    di.add_argument("--shard-db", type=int, default=0, dest="shard_db",
+                    help="shard the reference over N devices (db axis)")
     di.add_argument("--component_sz", type=int, default=None,
                     help="mco dense row space = 16^N (reference "
                          "COMPONENT_SZ macro; default 8)")

@@ -227,12 +227,17 @@ def load_sharedk(path: str, qry_num: int, ref_num: int) -> np.ndarray:
 
 def run_dist_search(ref_path: str, qry_path: str, outdir: str,
                     opts: DistOptions | None = None,
-                    use_device: bool = True) -> str:
+                    use_device: bool = True, shard_db: int = 0) -> str:
     """Full search pipeline: counts + stats + distance.out
-    (reference mco_cbdco_nobin_dist + dist_print_nobin)."""
+    (reference mco_cbdco_nobin_dist + dist_print_nobin).
+
+    shard_db > 1 shards the reference postings over that many devices
+    (db mesh axis) — for reference databases larger than one HBM.
+    """
     opts = opts or DistOptions()
     qry = CoDir.read(qry_path, want_abund=False)
-    if os.path.exists(os.path.join(ref_path, "mcofiles.stat")):
+    is_mco = os.path.exists(os.path.join(ref_path, "mcofiles.stat"))
+    if is_mco:
         rstat = McoStat.read(ref_path)
         ref_names, ref_ctx = rstat.names, rstat.ctx_ct
     else:
@@ -242,7 +247,13 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
         matrix = load_sharedk(opts.shared_kmerpath, qry.stat.infile_num,
                               len(ref_names))
     else:
-        matrix = shared_kmer_matrix(ref_path, qry, use_device=use_device)
+        if shard_db > 1 and not is_mco:
+            from metakssd_tpu.parallel import mesh as pmesh
+            m = pmesh.make_mesh(n_data=1, n_db=shard_db)
+            matrix = pmesh.sharded_shared_counts(ref_path, qry, m)
+        else:
+            matrix = shared_kmer_matrix(ref_path, qry,
+                                        use_device=use_device)
         skf = save_sharedk(matrix, outdir)
     path = write_distance_out(
         matrix, ref_names, qry.stat.names, ref_ctx, qry.stat.ctx_ct,

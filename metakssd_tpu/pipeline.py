@@ -114,18 +114,22 @@ def sketch_byread(path: str, shuf: DimShuffle, out_dir: str,
         index.tofile(os.path.join(out_dir, f"combco.index.{c}"))
 
 
-def _batched_fasta_stage1(inputs: list[str], shuf: DimShuffle,
-                          opts: SketchOptions, accept):
-    """Sketch many fasta genomes in one device stream: inputs concatenate
-    (RESET-separated), survivors are attributed to genomes by window
-    position, then unique/dedup per genome on the host.  One big device
+def _batched_stage1(inputs: list[str], shuf: DimShuffle,
+                    opts: SketchOptions, accept, koc: bool):
+    """Sketch many inputs in one device stream: files concatenate
+    (RESET-separated), survivors are attributed to files by window
+    position, then unique/count per file on the host.  One big device
     pass instead of one dispatch per file."""
     from metakssd_tpu.ops.sketch_xla import sketch_codes_with_positions
     p = shuf.params
     chunks: list[np.ndarray] = []
     bounds = np.zeros(len(inputs) + 1, dtype=np.int64)
     for i, path in enumerate(inputs):
-        c = seqio.fasta_to_codes(path)
+        if seqio.sniff_format(path) == "fastq":
+            q = 0 if opts.abundance else opts.min_qual
+            c = seqio.fastq_to_codes(path, min_qual=q)[0]
+        else:
+            c = seqio.fasta_to_codes(path)
         chunks.append(c)
         chunks.append(np.full(1, 255, dtype=np.uint8))
         bounds[i + 1] = bounds[i] + c.size + 1
@@ -134,14 +138,22 @@ def _batched_fasta_stage1(inputs: list[str], shuf: DimShuffle,
     gid = np.searchsorted(bounds, pos, side="right") - 1
     per_genome = []
     for g in range(len(inputs)):
+        fmt_fastq = seqio.sniff_format(inputs[g]) == "fastq"
         mine = np.sort(dr[gid == g])
         uniq, counts = np.unique(mine, return_counts=True)
-        if opts.dedup:
+        ab = None
+        if koc:
+            ab = np.minimum(counts, 0xFFFF).astype(np.uint16)
+        elif opts.dedup and not fmt_fastq:
             uniq = uniq[counts == 1]
+        elif fmt_fastq and opts.min_occ > 1:
+            uniq = uniq[counts >= opts.min_occ]
         comp = (uniq % np.uint64(p.component_num)).astype(np.int64)
         ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
-        per_genome.append([(ids[comp == ci], None)
-                           for ci in range(p.component_num)])
+        per_genome.append([
+            (ids[comp == ci],
+             ab[comp == ci] if ab is not None else None)
+            for ci in range(p.component_num)])
     return per_genome
 
 
@@ -160,11 +172,12 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
         opts = dataclasses.replace(opts, abundance=False)
 
     from metakssd_tpu.utils import TIMER
-    all_fasta = (len(inputs) > 1 and not koc and not opts.pipecmd and
-                 all(seqio.sniff_format(f) == "fasta" for f in inputs))
+    batchable = (len(inputs) > 1 and not opts.pipecmd and
+                 (not koc or
+                  all(seqio.sniff_format(f) == "fastq" for f in inputs)))
     with TIMER.stage(f"stage1.sketch[{len(inputs)} files]"):
-        if all_fasta:
-            per_genome = _batched_fasta_stage1(inputs, shuf, opts, accept)
+        if batchable:
+            per_genome = _batched_stage1(inputs, shuf, opts, accept, koc)
         else:
             per_genome = [sketch_file(path, shuf, opts, accept=accept)
                           for path in inputs]
