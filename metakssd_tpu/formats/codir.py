@@ -25,6 +25,14 @@ PAN_PREFIX = "pan"
 UNIQ_PAN_PREFIX = "uniq_pan"
 
 
+def _mmap_or_empty(path: str, dtype) -> np.ndarray:
+    """Read-only memmap (zero-copy for multi-GiB sketch/index files);
+    empty files yield empty arrays (np.memmap rejects length 0)."""
+    if os.path.getsize(path) == 0:
+        return np.zeros(0, dtype=dtype)
+    return np.memmap(path, dtype=dtype, mode="r")
+
+
 @dataclasses.dataclass
 class CoDir:
     """In-memory view of a sketch directory."""
@@ -40,13 +48,13 @@ class CoDir:
         ids, index, abund = [], [], []
         has_a = stat.koc if want_abund is None else want_abund
         for c in range(stat.comp_num):
-            ids.append(np.fromfile(
-                os.path.join(dirpath, f"{SKCH_PREFIX}.{c}"), dtype=np.uint32))
-            index.append(np.fromfile(
-                os.path.join(dirpath, f"{IDX_PREFIX}.{c}"), dtype=np.uint64))
+            ids.append(_mmap_or_empty(
+                os.path.join(dirpath, f"{SKCH_PREFIX}.{c}"), np.uint32))
+            index.append(_mmap_or_empty(
+                os.path.join(dirpath, f"{IDX_PREFIX}.{c}"), np.uint64))
             if has_a:
                 apath = os.path.join(dirpath, f"{SKCH_PREFIX}.{c}.a")
-                abund.append(np.fromfile(apath, dtype=np.uint16)
+                abund.append(_mmap_or_empty(apath, np.uint16)
                              if os.path.exists(apath) else None)
         if has_a and any(a is None for a in abund):
             has_a = False

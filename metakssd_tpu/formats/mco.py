@@ -75,16 +75,31 @@ def write_mco_component(dirpath: str, c: int, inv: InvertedIndex,
 
 
 def read_mco_component(dirpath: str, c: int) -> InvertedIndex:
-    """Read a dense reference component back into sparse CSR form."""
-    cum = np.fromfile(os.path.join(dirpath, f"{MCO_IDX_PREFIX}.{c}"),
-                      dtype=np.uint64)
-    gids = np.fromfile(os.path.join(dirpath, f"{MCO_PREFIX}.{c}"),
-                       dtype=np.uint32)
-    sizes = np.diff(np.concatenate([[np.uint64(0)], cum]).astype(np.int64))
-    nz = np.nonzero(sizes)[0]
-    kmers = nz.astype(np.uint32)
-    offsets = np.zeros(nz.size + 1, dtype=np.uint64)
-    offsets[1:] = np.cumsum(sizes[nz])
+    """Read a dense reference component back into sparse CSR form.
+
+    The dense index is memory-mapped (34 GiB at the reference's default
+    COMPONENT_SZ=8) and streamed once to find the non-empty rows."""
+    from metakssd_tpu.formats.codir import _mmap_or_empty
+    cum = _mmap_or_empty(os.path.join(dirpath, f"{MCO_IDX_PREFIX}.{c}"),
+                         np.uint64)
+    gids = _mmap_or_empty(os.path.join(dirpath, f"{MCO_PREFIX}.{c}"),
+                          np.uint32)
+    CH = 1 << 24      # chunked scan: bounded memory on the 34 GiB index
+    prev = np.int64(0)
+    kmer_chunks, size_chunks = [], []
+    for off in range(0, cum.size, CH):
+        seg = np.asarray(cum[off:off + CH], dtype=np.int64)
+        sizes = np.diff(np.concatenate([[prev], seg]))
+        nz = np.nonzero(sizes)[0]
+        if nz.size:
+            kmer_chunks.append((off + nz).astype(np.uint32))
+            size_chunks.append(sizes[nz])
+        prev = seg[-1]
+    kmers = (np.concatenate(kmer_chunks) if kmer_chunks
+             else np.zeros(0, np.uint32))
+    offsets = np.zeros(kmers.size + 1, dtype=np.uint64)
+    if size_chunks:
+        offsets[1:] = np.cumsum(np.concatenate(size_chunks))
     return InvertedIndex(kmers, offsets, gids)
 
 
