@@ -325,3 +325,51 @@ def abv_search_batch_cosine(dense: DenseAbv, queries: np.ndarray,
                                      jnp.asarray(queries),
                                      min(top_k, len(dense.names)))
     return np.asarray(scores), np.asarray(ids)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _dense_l1(db: jnp.ndarray, q: jnp.ndarray, chunk: int = 512):
+    """Full L1 distance [B, N] via species-chunked broadcasting (equals
+    the reference's overlap L1 + complement term, abv_search
+    command_composite.c:299-319, because vectors are scaled to sum 100)."""
+    S = db.shape[1]
+    nchunks = -(-S // chunk)
+    pad = nchunks * chunk - S
+    dbp = jnp.pad(db, ((0, 0), (0, pad)))
+    qp = jnp.pad(q, ((0, 0), (0, pad)))
+    dbc = dbp.reshape(db.shape[0], nchunks, chunk).transpose(1, 0, 2)
+    qc = qp.reshape(q.shape[0], nchunks, chunk).transpose(1, 0, 2)
+
+    def body(acc, inp):
+        d, x = inp
+        acc = acc + jnp.sum(jnp.abs(x[:, None, :] - d[None, :, :]), axis=2)
+        return acc, None
+
+    init = jnp.zeros((q.shape[0], db.shape[0]), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, (dbc, qc))
+    return acc
+
+
+def abv_search_batch(dense: DenseAbv, queries: np.ndarray, mode: int = 0
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """All-measure batched search (reference semantics).
+
+    Returns (measure [B, N], overlap_mask [B, N]); samples sharing no
+    dimension with a query are not reported by the reference — mask
+    them with the overlap matrix.  mode: 0 cosine, 1 L1, 2 L2(sqrt).
+    """
+    q = jnp.asarray(queries.astype(np.float32))
+    db = dense.mat
+    ymask = (db != 0).astype(jnp.float32)
+    qmask = (q != 0).astype(jnp.float32)
+    overlap = jnp.dot(qmask, ymask.T,
+                      preferred_element_type=jnp.float32) > 0
+    if mode == 0:
+        dot = jnp.dot(q, db.T, preferred_element_type=jnp.float32)
+        xnorm = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        measure = dot / (xnorm * dense.y_l2n[None, :])
+    elif mode == 1:
+        measure = _dense_l1(db, q)
+    else:
+        measure = jnp.sqrt(_dense_l2_overlap(db, q))
+    return np.asarray(measure), np.asarray(overlap)
