@@ -65,3 +65,19 @@ def test_stream_order_positions():
     dr_gold = golden.window_drtuples(codes, shuf)
     np.testing.assert_array_equal(dr, dr_gold)  # same stream order
     assert np.all(np.diff(pos) > 0)
+
+
+def test_overflow_fallback_all_accepted():
+    """drlevel=0 accepts every window -> the compact kernel overflows its
+    survivor budget and must fall back to the exact full kernel."""
+    rng = np.random.default_rng(7)
+    shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=0), seed=7)
+    codes = rng.integers(0, 4, size=120_000).astype(np.uint8)
+    dr_gold = np.sort(golden.window_drtuples(codes, shuf))
+    assert dr_gold.size > codes.size * 0.9        # ~everything accepted
+    dr_dev = sketch_xla.sketch_codes(codes, shuf)
+    np.testing.assert_array_equal(dr_gold, dr_dev)
+    # positions variant exercises its own fallback branch
+    dr2, pos = sketch_xla.sketch_codes_with_positions(codes, shuf)
+    np.testing.assert_array_equal(np.sort(dr2), dr_gold)
+    assert pos.size == dr2.size
