@@ -130,6 +130,109 @@ def _kernel(c_ref, accept_ref, pfil_ref, dr_ref, keep_ref, *,
     keep_ref[0] = keep.astype(jnp.int32)
 
 
+MAXS = 1024   # compacted survivors per block (64K windows; ~16 expected)
+
+
+class _RefView:
+    """Adapts a [RWIN, LANES] scratch ref to the ``ref[0] = val`` writes
+    the block kernel makes on its [1, RWIN, LANES] outputs."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __setitem__(self, idx, val):
+        self._ref[:, :] = val
+
+
+def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
+                    k: int, subk: int, drlevel: int, n_accept: int):
+    """Window kernel + in-VMEM compaction: survivors are extracted with a
+    scalar row scan (survivor rate ~1/4096 makes the scan trivial) so
+    only MAXS entries per block ever reach HBM — no global sort pass.
+    Overflowing blocks (count > MAXS) are re-run exactly by the caller.
+    """
+    def body(dr_s, keep_s):
+        _kernel(c_ref, accept_ref, pfil_ref, _RefView(dr_s),
+                _RefView(keep_s), k=k, subk=subk, drlevel=drlevel,
+                n_accept=n_accept)
+        out_ref[0] = jnp.zeros((MAXS // LANES, LANES), jnp.uint32)
+        total = jnp.sum(keep_s[:, :])
+        # _kernel wrote MAX for non-survivors; a real survivor whose
+        # drtuple IS the MAX sentinel (2^-32 edge) would be lost by
+        # extract-min, so force the exact rerun path for such blocks
+        has_sentinel = jnp.sum(
+            ((dr_s[:, :] == jnp.uint32(0xFFFFFFFF)) &
+             (keep_s[:, :] > 0)).astype(jnp.int32))
+
+        # extract-min loop: one iteration per DISTINCT survivor value
+        # (#survivors ~ windows/4096, so a handful of iterations)
+        def cond(state):
+            cnt, _ = state
+            # overflowing blocks skip extraction entirely (caller re-runs)
+            return (cnt < total) & (total <= MAXS) & (has_sentinel == 0)
+
+        def extract(state):
+            cnt, it = state
+            m = jnp.min(dr_s[:, :])
+            c_m = jnp.sum((dr_s[:, :] == m).astype(jnp.int32))
+
+            def wr(i, _):
+                @pl.when(cnt + i < MAXS)
+                def _():
+                    out_ref[0, (cnt + i) // LANES,
+                            (cnt + i) % LANES] = m
+                return 0
+            jax.lax.fori_loop(0, c_m, wr, 0)
+            dr_s[:, :] = jnp.where(dr_s[:, :] == m,
+                                   jnp.uint32(0xFFFFFFFF), dr_s[:, :])
+            return cnt + c_m, it + 1
+
+        jax.lax.while_loop(cond, extract, (jnp.int32(0), jnp.int32(0)))
+        cnt_ref[0, 0] = jnp.where(has_sentinel > 0, jnp.int32(MAXS + 1),
+                                  total)
+
+    pl.run_scoped(
+        body,
+        dr_s=pltpu.VMEM((RWIN, LANES), jnp.uint32),
+        keep_s=pltpu.VMEM((RWIN, LANES), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "subk", "drlevel", "nblocks",
+                                    "n_accept", "interpret"))
+def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, *, k, subk,
+                                drlevel, nblocks, n_accept,
+                                interpret=False):
+    """tiles -> (survivors [nblocks, MAXS//LANES, LANES], counts [nblocks])."""
+    TL = 2 * k
+    ext = _ext(TL)
+    kern = functools.partial(_compact_kernel, k=k, subk=subk,
+                             drlevel=drlevel, n_accept=n_accept)
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, RWIN + ext, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tiles, accept2d, pfil2d)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "subk", "drlevel", "nblocks",
                                     "n_accept", "interpret"))
@@ -187,11 +290,14 @@ def _compact(dr, keep, max_out: int):
 
 
 def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
-                        interpret: bool = False):
+                        interpret: bool = False, compact: bool = True):
     """codes uint8 -> (sorted survivor drtuples uint32, count) on device.
 
     Returns None if the configuration is unsupported (fallback to the
     XLA path): k - drlevel > 8 or accept table not lane-aligned.
+    With ``compact`` (default) survivors are extracted inside the kernel
+    (no global sort, MAXS per block); overflowing blocks re-run through
+    the full-output path.
     """
     p = shuf.params
     TL = p.kmer_len
@@ -201,18 +307,39 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         accept = shuf.device_tables()
     a_tups, a_pf = accept[0], accept[1]
     n_accept = a_tups.size
-    if n_accept % LANES != 0 or n_accept < LANES:
+    if n_accept % LANES != 0 or n_accept < LANES or n_accept > (1 << 14):
+        # degenerate low-reduction configs (huge accept tables) go
+        # through the XLA path; the in-VMEM select chains scale ~n/128
         return None
 
     nwin = max(codes.size - TL + 1, 0)
     nblocks = max(-(-nwin // (RWIN * LANES)), 1)
     c32 = np.where(codes < 4, codes, 4).astype(np.int32)
     tiles = _restructure(jnp.asarray(c32), nblocks=nblocks, TL=TL)
-    dr, keep = sketch_tiles_pallas(
-        tiles, jnp.asarray(a_tups.reshape(-1, LANES)),
-        jnp.asarray(a_pf.reshape(-1, LANES)),
-        k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
-        n_accept=n_accept, interpret=interpret)
+    a2d = jnp.asarray(a_tups.reshape(-1, LANES))
+    p2d = jnp.asarray(a_pf.reshape(-1, LANES))
+    kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
+              n_accept=n_accept, interpret=interpret)
+
+    if compact:
+        surv, counts = sketch_tiles_compact_pallas(tiles, a2d, p2d, **kw)
+        counts = np.asarray(counts).reshape(-1)
+        surv = np.asarray(surv).reshape(nblocks, -1)
+        parts = [surv[b, :counts[b]] for b in range(nblocks)
+                 if counts[b] <= MAXS]
+        bad = [b for b in range(nblocks) if counts[b] > MAXS]
+        if bad:
+            dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
+            dr = np.asarray(dr)
+            keep = np.asarray(keep).astype(bool)
+            for b in bad:
+                parts.append(dr[b][keep[b]])
+        out = (np.concatenate(parts) if parts
+               else np.zeros(0, np.uint32))
+        out.sort()
+        return out, out.size
+
+    dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
     max_out = max((nblocks * RWIN * LANES) >> 8, 1 << 12)
     keys, count = _compact(dr, keep, max_out)
     count = int(count)

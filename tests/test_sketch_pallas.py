@@ -30,3 +30,43 @@ def test_pallas_small_input():
     gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
     assert count == gold.size
     np.testing.assert_array_equal(keys, gold)
+
+
+def test_pallas_compact_kernel_matches_golden():
+    rng = np.random.default_rng(3)
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=3)
+    codes = rng.integers(0, 4, size=200_000).astype(np.uint8)
+    codes[rng.integers(0, codes.size, 100)] = 255
+    keys, count = sketch_pallas.sketch_codes_pallas(
+        codes, shuf, interpret=True, compact=True)
+    gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
+    assert count == gold.size
+    np.testing.assert_array_equal(keys, gold)
+
+
+def test_pallas_compact_overflow_blocks():
+    """Force the per-block survivor budget below the real count so the
+    overflow rerun path engages."""
+    rng = np.random.default_rng(4)
+    shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=4)
+    codes = rng.integers(0, 4, size=200_000).astype(np.uint8)
+    gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
+    assert gold.size > 4 * 128  # enough survivors to overflow MAXS=128
+    old = sketch_pallas.MAXS
+    sketch_pallas.MAXS = 128
+    sketch_pallas.sketch_tiles_compact_pallas.clear_cache()
+    try:
+        keys, count = sketch_pallas.sketch_codes_pallas(
+            codes, shuf, interpret=True, compact=True)
+    finally:
+        sketch_pallas.MAXS = old
+        sketch_pallas.sketch_tiles_compact_pallas.clear_cache()
+    assert count == gold.size
+    np.testing.assert_array_equal(keys, gold)
+
+
+def test_pallas_rejects_huge_accept_table():
+    shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=0), seed=4)
+    codes = np.zeros(1000, np.uint8)
+    assert sketch_pallas.sketch_codes_pallas(codes, shuf,
+                                             interpret=True) is None
