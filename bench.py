@@ -70,6 +70,7 @@ def _bench_reference(fq: str, shufp: str) -> float:
 
 
 def _bench_ours(fq: str, shufp: str) -> float:
+    import jax
     from metakssd_tpu.formats.shuf import read_shuf
     from metakssd_tpu.io import seqio
     from metakssd_tpu.ops import sketch_xla
@@ -77,14 +78,34 @@ def _bench_ours(fq: str, shufp: str) -> float:
 
     shuf = read_shuf(shufp)
     accept = shuf.device_tables()
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from metakssd_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(n_data=n_dev, n_db=1)
+
+    def sketch(codes):
+        if mesh is not None:
+            from metakssd_tpu.parallel import mesh as pmesh
+            dr = pmesh.sharded_sketch(codes, shuf, mesh)
+            uniq, counts = np.unique(dr, return_counts=True)
+            p = shuf.params
+            counts = np.minimum(counts, 0xFFFF).astype(np.uint16)
+            comp = (uniq % np.uint64(p.component_num)).astype(np.int64)
+            ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
+            return [(ids[comp == ci], counts[comp == ci])
+                    for ci in range(p.component_num)]
+        return sketch_xla.sketch_to_sets(codes, shuf, mode="koc",
+                                         accept=accept)
+
     # warmup: compile the kernel shapes on a small prefix
     codes_w = np.full(1 << 16, 1, dtype=np.uint8)
-    sketch_xla.sketch_to_sets(codes_w, shuf, mode="koc", accept=accept)
+    sketch(codes_w)
 
     out = os.path.join(CACHE, "mine_out")
     t0 = time.time()
     codes, _ = seqio.fastq_to_codes(fq, min_qual=0)
-    sets = sketch_xla.sketch_to_sets(codes, shuf, mode="koc", accept=accept)
+    sets = sketch(codes)
     # write the sketch dir (part of the end-to-end path)
     from metakssd_tpu.formats.costat import CoStat
     from metakssd_tpu.formats.codir import write_codir
