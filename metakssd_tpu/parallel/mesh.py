@@ -52,6 +52,17 @@ def _sketch_shard(codes, accept_tups, pfilters, *, k, subk, drlevel,
     return srt[:max_out], jnp.sum(keep.astype(jnp.int32))
 
 
+def _sketch_shard_packed(packed, vmask, accept_mask, accept_tups,
+                         pfilters, *, k, subk, drlevel, nwin, max_out):
+    """Fast per-device shard: 2-bit packed input + accept-bitmask filter
+    (the compact kernel's body, shard_map-compatible)."""
+    dr, cnt = sketch_xla._sketch_chunk_compact.__wrapped__(
+        packed, vmask, accept_mask, accept_tups, pfilters,
+        k=k, subk=subk, drlevel=drlevel, nwin=nwin, max_out=max_out)
+    # pad tail beyond max_out is undefined order; mask by count downstream
+    return dr, cnt
+
+
 def make_sharded_profile_step(mesh: Mesh, *, k: int, subk: int,
                               drlevel: int, nwin: int, max_out: int,
                               num_refs: int):
@@ -172,34 +183,51 @@ def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,
     nwin_total = max(codes.size - TL + 1, 0)
     nwin = -(-nwin_total // n_data)
     nwin = max(nwin, 1)
-    # build overlapping shards [n_data, nwin + TL - 1]
+    # build overlapping shards [n_data, nwin + TL - 1], 2-bit packed
     shard_len = nwin + TL - 1
-    arr = np.full((n_data, shard_len), 255, dtype=np.uint8)
+    packed_rows, vmask_rows = [], []
     for d in range(n_data):
         start = d * nwin
-        seg = codes[start:start + shard_len]
-        arr[d, :seg.size] = seg
-    accept = shuf.accept_table()
+        seg = np.full(shard_len, 255, dtype=np.uint8)
+        chunk = codes[start:start + shard_len]
+        seg[:chunk.size] = chunk
+        pk, vm = sketch_xla.pack_codes(seg)
+        packed_rows.append(pk)
+        vmask_rows.append(vm)
+    packed = np.stack(packed_rows)
+    vmask = np.stack(vmask_rows)
+    at, pf, am = shuf.device_tables()
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(codes_sh, at, pf):
+    @jax.jit
+    def run(packed_sh, vmask_sh, am_, at_, pf_):
         from jax import shard_map
 
-        def fn(c, a, f):
-            keys, cnt = _sketch_shard(c[0], a, f, k=p.k, subk=p.subk,
-                                      drlevel=p.drlevel, nwin=nwin,
-                                      max_out=max_out_per_device)
+        def fn(pk, vm, m, a, f):
+            keys, cnt = _sketch_shard_packed(
+                pk[0], vm[0], m, a, f, k=p.k, subk=p.subk,
+                drlevel=p.drlevel, nwin=nwin,
+                max_out=max_out_per_device)
             return keys[None], cnt[None]
 
         return shard_map(fn, mesh=mesh,
-                         in_specs=(P("data", None), P(), P()),
+                         in_specs=(P("data", None), P("data", None),
+                                   P(), P(), P()),
                          out_specs=(P("data", None), P("data")),
-                         check_vma=False)(codes_sh, at, pf)
+                         check_vma=False)(packed_sh, vmask_sh, am_, at_, pf_)
 
-    keys, counts = run(jnp.asarray(arr), jnp.asarray(accept[0]),
-                       jnp.asarray(accept[1]))
+    keys, counts = run(jnp.asarray(packed), jnp.asarray(vmask),
+                       jnp.asarray(am), jnp.asarray(at), jnp.asarray(pf))
     keys = np.asarray(keys)
     counts = np.asarray(counts)
-    out = np.concatenate([keys[d, :counts[d]] for d in range(n_data)])
+    parts = []
+    for d in range(n_data):
+        if counts[d] <= max_out_per_device:
+            parts.append(keys[d, :counts[d]].astype(np.uint64))
+        else:   # overflow: exact single-device recompute of this shard
+            start = d * nwin
+            seg = codes[start:start + shard_len]
+            parts.append(sketch_xla.sketch_codes(seg, shuf,
+                                                 accept=(at, pf, am)))
+    out = np.concatenate(parts)
     out.sort()
     return out.astype(np.uint64)
