@@ -139,3 +139,25 @@ def test_reverse_roundtrip():
              + ((uni & outer_mask) << np.uint64(4 * p.k - 4 * p.outctx)))
             >> np.uint64(4 * p.drlevel)) + pf)
     np.testing.assert_array_equal(dr, dr2)
+
+
+@needs_oracle
+def test_multicomponent_sketch_parity(tmp_path):
+    """k=12,l=3 -> 16 components (k-dr=9 > COMPONENT_SZ=8): component
+    routing and per-component ids must match the oracle."""
+    rng = np.random.default_rng(12)
+    shuf, shufp = _mk_shuf(tmp_path, k=12, subk=6, drlevel=3, seed=12)
+    fa = str(tmp_path / "g.fa")
+    write_fasta(fa, [random_seq(rng, 60000)])
+    out = str(tmp_path / "co")
+    oracle.run(["dist", "-L", shufp, "-o", out, fa])
+    ref = CoDir.read(out)
+    assert ref.stat.comp_num == 16
+    codes = seqio.fasta_to_codes(fa)
+    mine = golden.sketch_sets(codes, shuf, mode="set")
+    total = 0
+    for c in range(16):
+        np.testing.assert_array_equal(np.sort(ref.genome_ids(c, 0)),
+                                      mine[c][0], err_msg=f"comp {c}")
+        total += mine[c][0].size
+    assert total == int(ref.stat.ctx_ct[0])
