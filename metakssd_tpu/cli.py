@@ -54,10 +54,19 @@ def _cmd_dist(args) -> int:
 
     def _shuf():
         if args.DimRdcLevel and os.path.isfile(args.DimRdcLevel):
-            return read_shuf(args.DimRdcLevel)
-        level = int(args.DimRdcLevel) if args.DimRdcLevel else 2
-        return pipeline.resolve_shuffle(None, args.halfKmerlength, level,
-                                        outdir, seed=args.seed)
+            shuf = read_shuf(args.DimRdcLevel)
+        else:
+            level = int(args.DimRdcLevel) if args.DimRdcLevel else 2
+            shuf = pipeline.resolve_shuffle(None, args.halfKmerlength,
+                                            level, outdir, seed=args.seed)
+        if args.component_sz is not None:
+            import dataclasses
+            from metakssd_tpu.formats.shuf import DimShuffle
+            shuf = DimShuffle(
+                dataclasses.replace(shuf.params,
+                                    component_sz=args.component_sz),
+                shuf.shuffled_dim)
+        return shuf
 
     if ref:
         if has(ref, CO_DSTAT) and not has(ref, MCO_DSTAT) and not queries:
