@@ -151,11 +151,12 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
     only MAXS entries per block ever reach HBM — no global sort pass.
     Overflowing blocks (count > MAXS) are re-run exactly by the caller.
     """
+    pid = pl.program_id(0)
+
     def body(dr_s, keep_s):
         _kernel(c_ref, accept_ref, pfil_ref, _RefView(dr_s),
                 _RefView(keep_s), k=k, subk=subk, drlevel=drlevel,
                 n_accept=n_accept)
-        out_ref[0] = jnp.zeros((MAXS // LANES, LANES), jnp.uint32)
         total = jnp.sum(keep_s[:, :])
         # _kernel wrote MAX for non-survivors; a real survivor whose
         # drtuple IS the MAX sentinel (2^-32 edge) would be lost by
@@ -165,31 +166,40 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
              (keep_s[:, :] > 0)).astype(jnp.int32))
 
         # extract-min loop: one iteration per DISTINCT survivor value
-        # (#survivors ~ windows/4096, so a handful of iterations)
+        # (#survivors ~ windows/4096, so a handful of iterations).  The
+        # survivors accumulate in a register-carried [MAXS/128, 128]
+        # array via masked selects (Mosaic cannot do scalar VMEM stores).
+        oshape = (MAXS // LANES, LANES)
+        flat_idx = (jax.lax.broadcasted_iota(jnp.int32, oshape, 0) * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, oshape, 1))
+
         def cond(state):
             cnt, _ = state
             # overflowing blocks skip extraction entirely (caller re-runs)
             return (cnt < total) & (total <= MAXS) & (has_sentinel == 0)
 
         def extract(state):
-            cnt, it = state
-            m = jnp.min(dr_s[:, :])
-            c_m = jnp.sum((dr_s[:, :] == m).astype(jnp.int32))
-
-            def wr(i, _):
-                @pl.when(cnt + i < MAXS)
-                def _():
-                    out_ref[0, (cnt + i) // LANES,
-                            (cnt + i) % LANES] = m
-                return 0
-            jax.lax.fori_loop(0, c_m, wr, 0)
+            cnt, acc = state
+            # Mosaic has no unsigned reductions (and no scalar bitcast);
+            # min via the order-preserving bias into int32 space, then
+            # reinterpret the scalar back through wraparound astype.
+            biased = jax.lax.bitcast_convert_type(
+                dr_s[:, :] ^ jnp.uint32(0x80000000), jnp.int32)
+            m_b = jnp.min(biased)
+            m = m_b.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+            c_m = jnp.sum((biased == m_b).astype(jnp.int32))
+            acc = jnp.where((flat_idx >= cnt) & (flat_idx < cnt + c_m),
+                            m, acc)
             dr_s[:, :] = jnp.where(dr_s[:, :] == m,
                                    jnp.uint32(0xFFFFFFFF), dr_s[:, :])
-            return cnt + c_m, it + 1
+            return cnt + c_m, acc
 
-        jax.lax.while_loop(cond, extract, (jnp.int32(0), jnp.int32(0)))
-        cnt_ref[0, 0] = jnp.where(has_sentinel > 0, jnp.int32(MAXS + 1),
-                                  total)
+        _, out = jax.lax.while_loop(
+            cond, extract,
+            (jnp.int32(0), jnp.zeros(oshape, jnp.uint32)))
+        out_ref[0] = out
+        cnt_ref[pid] = jnp.where(
+            has_sentinel > 0, jnp.int32(MAXS + 1), total)
 
     pl.run_scoped(
         body,
@@ -221,13 +231,13 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, *, k, subk,
         out_specs=[
             pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((nblocks,), lambda b: (0,),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
                                  jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks,), jnp.int32),
         ],
         interpret=interpret,
     )(tiles, accept2d, pfil2d)
