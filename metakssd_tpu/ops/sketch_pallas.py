@@ -50,11 +50,11 @@ def _lookup(tab_rows: list, pos):
     return res
 
 
-def _kernel(c_ref, accept_ref, pfil_ref, dr_ref, keep_ref, *,
-            k: int, subk: int, drlevel: int, n_accept: int):
+def _window_compute(c_ref, accept_ref, pfil_ref, *,
+                    k: int, subk: int, drlevel: int, n_accept: int):
+    """Shared window math: -> (dr uint32[RWIN,128], keep bool[RWIN,128])."""
     TL = 2 * k
     outctx = k - subk
-    ext = _ext(TL)
 
     c = c_ref[0]                       # [RWIN+ext, 128] int32; 4 = invalid
     code = (c & 3).astype(jnp.uint32)
@@ -126,86 +126,70 @@ def _kernel(c_ref, accept_ref, pfil_ref, dr_ref, keep_ref, *,
     dr = base + pf
 
     keep = (~invalid) & hit
+    return dr, keep
+
+
+def _kernel(c_ref, accept_ref, pfil_ref, dr_ref, keep_ref, *,
+            k: int, subk: int, drlevel: int, n_accept: int):
+    dr, keep = _window_compute(c_ref, accept_ref, pfil_ref, k=k,
+                               subk=subk, drlevel=drlevel,
+                               n_accept=n_accept)
     dr_ref[0] = jnp.where(keep, dr, jnp.uint32(0xFFFFFFFF))
     keep_ref[0] = keep.astype(jnp.int32)
 
 
-MAXS = 1024   # compacted survivors per block (64K windows; ~16 expected)
-
-
-class _RefView:
-    """Adapts a [RWIN, LANES] scratch ref to the ``ref[0] = val`` writes
-    the block kernel makes on its [1, RWIN, LANES] outputs."""
-
-    def __init__(self, ref):
-        self._ref = ref
-
-    def __setitem__(self, idx, val):
-        self._ref[:, :] = val
+CSLOT = 16            # survivor slots per lane
+MAXS = CSLOT * LANES  # compacted survivors per block (64K windows)
+SENT = 0xFFFFFFFF
 
 
 def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
                     k: int, subk: int, drlevel: int, n_accept: int):
-    """Window kernel + in-VMEM compaction: survivors are extracted with a
-    scalar row scan (survivor rate ~1/4096 makes the scan trivial) so
-    only MAXS entries per block ever reach HBM — no global sort pass.
-    Overflowing blocks (count > MAXS) are re-run exactly by the caller.
+    """Window kernel + in-VMEM compaction.
+
+    Each lane owns RWIN consecutive windows; a log-shift prefix sum over
+    the keep mask assigns every survivor a per-lane slot, and slot row j
+    of the [CSLOT, 128] output is filled with one masked sublane
+    reduction (exactly one survivor matches (slot==j, lane)).  Unused
+    slots hold the SENT sentinel, which the caller filters.  Blocks
+    where any lane overflows CSLOT slots — or where a real survivor
+    collides with the sentinel value — report count MAXS+1 and are
+    re-run exactly by the caller through the full-output kernel.
     """
     pid = pl.program_id(0)
+    dr, keep = _window_compute(c_ref, accept_ref, pfil_ref, k=k,
+                               subk=subk, drlevel=drlevel,
+                               n_accept=n_accept)
+    keepi = keep.astype(jnp.int32)
+    total = jnp.sum(keepi)
+    has_sentinel = jnp.sum((keep & (dr == jnp.uint32(SENT)))
+                           .astype(jnp.int32))
 
-    def body(dr_s, keep_s):
-        _kernel(c_ref, accept_ref, pfil_ref, _RefView(dr_s),
-                _RefView(keep_s), k=k, subk=subk, drlevel=drlevel,
-                n_accept=n_accept)
-        total = jnp.sum(keep_s[:, :])
-        # _kernel wrote MAX for non-survivors; a real survivor whose
-        # drtuple IS the MAX sentinel (2^-32 edge) would be lost by
-        # extract-min, so force the exact rerun path for such blocks
-        has_sentinel = jnp.sum(
-            ((dr_s[:, :] == jnp.uint32(0xFFFFFFFF)) &
-             (keep_s[:, :] > 0)).astype(jnp.int32))
+    # per-lane inclusive prefix count (log-shift along sublanes)
+    ps = keepi
+    d = 1
+    while d < RWIN:
+        ps = ps + jnp.concatenate(
+            [jnp.zeros((d, LANES), jnp.int32), ps[:RWIN - d]], axis=0)
+        d *= 2
+    slot = ps - 1                              # survivor's slot in its lane
+    lane_tot = ps[RWIN - 1:RWIN, :]            # [1, 128]
+    overflow = jnp.max(lane_tot) > CSLOT
 
-        # extract-min loop: one iteration per DISTINCT survivor value
-        # (#survivors ~ windows/4096, so a handful of iterations).  The
-        # survivors accumulate in a register-carried [MAXS/128, 128]
-        # array via masked selects (Mosaic cannot do scalar VMEM stores).
-        oshape = (MAXS // LANES, LANES)
-        flat_idx = (jax.lax.broadcasted_iota(jnp.int32, oshape, 0) * LANES
-                    + jax.lax.broadcasted_iota(jnp.int32, oshape, 1))
-
-        def cond(state):
-            cnt, _ = state
-            # overflowing blocks skip extraction entirely (caller re-runs)
-            return (cnt < total) & (total <= MAXS) & (has_sentinel == 0)
-
-        def extract(state):
-            cnt, acc = state
-            # Mosaic has no unsigned reductions (and no scalar bitcast);
-            # min via the order-preserving bias into int32 space, then
-            # reinterpret the scalar back through wraparound astype.
-            biased = jax.lax.bitcast_convert_type(
-                dr_s[:, :] ^ jnp.uint32(0x80000000), jnp.int32)
-            m_b = jnp.min(biased)
-            m = m_b.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
-            c_m = jnp.sum((biased == m_b).astype(jnp.int32))
-            acc = jnp.where((flat_idx >= cnt) & (flat_idx < cnt + c_m),
-                            m, acc)
-            dr_s[:, :] = jnp.where(dr_s[:, :] == m,
-                                   jnp.uint32(0xFFFFFFFF), dr_s[:, :])
-            return cnt + c_m, acc
-
-        _, out = jax.lax.while_loop(
-            cond, extract,
-            (jnp.int32(0), jnp.zeros(oshape, jnp.uint32)))
-        out_ref[0] = out
-        cnt_ref[pid] = jnp.where(
-            has_sentinel > 0, jnp.int32(MAXS + 1), total)
-
-    pl.run_scoped(
-        body,
-        dr_s=pltpu.VMEM((RWIN, LANES), jnp.uint32),
-        keep_s=pltpu.VMEM((RWIN, LANES), jnp.int32),
-    )
+    drv = jax.lax.bitcast_convert_type(dr, jnp.int32)
+    rows = []
+    for j in range(CSLOT):
+        sel = keep & (slot == j)
+        rows.append(jnp.sum(jnp.where(sel, drv, 0), axis=0,
+                            keepdims=True))
+    vals = jax.lax.bitcast_convert_type(
+        jnp.concatenate(rows, axis=0), jnp.uint32)      # [CSLOT, 128]
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (CSLOT, LANES), 0)
+    out_ref[0] = jnp.where(
+        j_idx < jnp.broadcast_to(lane_tot, (CSLOT, LANES)),
+        vals, jnp.uint32(SENT))
+    cnt_ref[pid] = jnp.where((has_sentinel > 0) | overflow,
+                             jnp.int32(MAXS + 1), total)
 
 
 @functools.partial(jax.jit,
@@ -335,8 +319,9 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         surv, counts = sketch_tiles_compact_pallas(tiles, a2d, p2d, **kw)
         counts = np.asarray(counts).reshape(-1)
         surv = np.asarray(surv).reshape(nblocks, -1)
-        parts = [surv[b, :counts[b]] for b in range(nblocks)
-                 if counts[b] <= MAXS]
+        # valid slots are lane-strided; unused slots hold the sentinel
+        parts = [surv[b][surv[b] != np.uint32(SENT)]
+                 for b in range(nblocks) if counts[b] <= MAXS]
         bad = [b for b in range(nblocks) if counts[b] > MAXS]
         if bad:
             dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)

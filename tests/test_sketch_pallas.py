@@ -51,15 +51,15 @@ def test_pallas_compact_overflow_blocks():
     shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=4)
     codes = rng.integers(0, 4, size=200_000).astype(np.uint8)
     gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
-    assert gold.size > 4 * 128  # enough survivors to overflow MAXS=128
-    old = sketch_pallas.MAXS
-    sketch_pallas.MAXS = 128
+    assert gold.size > 4 * 128  # enough survivors to overflow 1 slot/lane
+    old = sketch_pallas.CSLOT, sketch_pallas.MAXS
+    sketch_pallas.CSLOT, sketch_pallas.MAXS = 1, 128
     sketch_pallas.sketch_tiles_compact_pallas.clear_cache()
     try:
         keys, count = sketch_pallas.sketch_codes_pallas(
             codes, shuf, interpret=True, compact=True)
     finally:
-        sketch_pallas.MAXS = old
+        sketch_pallas.CSLOT, sketch_pallas.MAXS = old
         sketch_pallas.sketch_tiles_compact_pallas.clear_cache()
     assert count == gold.size
     np.testing.assert_array_equal(keys, gold)
