@@ -107,17 +107,46 @@ def _member_pallas(mblk, hay2d, val2d, needles2d, *, nblocks,
     )(mblk, hay2d, hay2d, val2d, val2d, needles2d)
 
 
-def sorted_membership(haystack: np.ndarray, values: np.ndarray | None,
-                      needles: np.ndarray, use_pallas: bool | None = None,
+class StaticHaystack:
+    """Device-resident sorted haystack (+values) reused across queries.
+
+    Profiling and dist search probe the same MarkerDB for every sample;
+    staging it once saves the dominant host->device transfer (the DB is
+    tens of MB; a tunnel-attached TPU moves ~40 MB/s).
+    """
+
+    def __init__(self, haystack: np.ndarray,
+                 values: np.ndarray | None = None):
+        self.haystack = np.asarray(haystack, dtype=np.uint32)
+        if values is None:
+            values = np.zeros_like(self.haystack)
+        self.values = np.asarray(values, dtype=np.uint32)
+        nh = self.haystack.size
+        nh_pad = (-(-max(nh, 1) // W) + 1) * W
+        hay_pad = np.full(nh_pad, UINT32_MAX, dtype=np.uint32)
+        hay_pad[:nh] = self.haystack
+        val_pad = np.zeros(nh_pad, dtype=np.uint32)
+        val_pad[:nh] = self.values
+        self.nh_pad = nh_pad
+        self.hay2d = jax.device_put(hay_pad.reshape(-1, LANES))
+        self.val2d = jax.device_put(val_pad.reshape(-1, LANES))
+
+
+def sorted_membership(haystack, values, needles,
+                      use_pallas: bool | None = None,
                       interpret: bool = False
                       ) -> tuple[np.ndarray, np.ndarray]:
     """member/value for each needle.
 
     haystack: sorted uint32 (no duplicates required for values to be
-    meaningful); values: uint32 aligned with haystack (or None);
-    needles: sorted uint32.
+    meaningful) or a :class:`StaticHaystack`; values: uint32 aligned
+    with haystack (or None; ignored for StaticHaystack); needles:
+    sorted uint32.
     Returns (member bool[n], value uint32[n]).
     """
+    staged = haystack if isinstance(haystack, StaticHaystack) else None
+    if staged is not None:
+        haystack, values = staged.haystack, staged.values
     haystack = np.asarray(haystack, dtype=np.uint32)
     needles = np.asarray(needles, dtype=np.uint32)
     if values is None:
@@ -139,11 +168,16 @@ def sorted_membership(haystack: np.ndarray, values: np.ndarray | None,
 
     # pad haystack/values to a multiple of W (+ one extra block)
     nh = haystack.size
-    nh_pad = (-(-nh // W) + 1) * W
-    hay_pad = np.full(nh_pad, UINT32_MAX, dtype=np.uint32)
-    hay_pad[:nh] = haystack
-    val_pad = np.zeros(nh_pad, dtype=np.uint32)
-    val_pad[:nh] = values
+    if staged is not None:
+        nh_pad, hay2d, val2d = staged.nh_pad, staged.hay2d, staged.val2d
+    else:
+        nh_pad = (-(-nh // W) + 1) * W
+        hay_pad = np.full(nh_pad, UINT32_MAX, dtype=np.uint32)
+        hay_pad[:nh] = haystack
+        val_pad = np.zeros(nh_pad, dtype=np.uint32)
+        val_pad[:nh] = values
+        hay2d = jnp.asarray(hay_pad.reshape(-1, LANES))
+        val2d = jnp.asarray(val_pad.reshape(-1, LANES))
 
     nn = needles.size
     nblocks = -(-nn // BLOCK)
@@ -160,9 +194,7 @@ def sorted_membership(haystack: np.ndarray, values: np.ndarray | None,
     ok = ends <= (mblk.astype(np.int64) + 2) * W
 
     member, value = _member_pallas(
-        jnp.asarray(mblk),
-        jnp.asarray(hay_pad.reshape(-1, LANES)),
-        jnp.asarray(val_pad.reshape(-1, LANES)),
+        jnp.asarray(mblk), hay2d, val2d,
         jnp.asarray(needles_pad.reshape(-1, LANES)),
         nblocks=nblocks, interpret=interpret)
     member = np.array(member).reshape(-1).astype(bool)[:nn]

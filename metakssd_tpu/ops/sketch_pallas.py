@@ -276,6 +276,37 @@ def _restructure(c32_flat, *, nblocks, TL):
     return strips.reshape(nblocks, LANES, RWIN + ext).transpose(0, 2, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("nblocks", "TL", "n"))
+def _restructure_packed(packed, vmask, *, nblocks, TL, n):
+    """2-bit packed codes + validity bitmask (see sketch_xla.pack_codes)
+    -> column-major window tiles, unpacked on device.  Cuts host->device
+    traffic 16x vs shipping int32 codes."""
+    ext = _ext(TL)
+    S = nblocks * LANES
+    M = S * RWIN
+    sh16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]
+    c = ((packed[:, None] >> sh16) & np.uint32(3)).reshape(-1)[:n]
+    sh32 = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    v = (((vmask[:, None] >> sh32) & np.uint32(1)) != 0).reshape(-1)[:n]
+    c32 = jnp.where(v, c.astype(jnp.int32), 4)
+    v0 = c32[:M].reshape(S, RWIN)
+    v1 = c32[RWIN:M + RWIN].reshape(S, RWIN)[:, :ext]
+    strips = jnp.concatenate([v0, v1], axis=1)        # [S, RWIN+ext]
+    return strips.reshape(nblocks, LANES, RWIN + ext).transpose(0, 2, 1)
+
+
+# nblocks buckets bound distinct compiled shapes; max = 512 blocks =
+# 33.5M windows per dispatch (larger streams loop with TL-1 overlap)
+_NB_BUCKETS = (1, 4, 16, 64, 256, 512)
+
+
+def _nb_bucket(nb: int) -> int:
+    for b in _NB_BUCKETS:
+        if nb <= b:
+            return b
+    return _NB_BUCKETS[-1]
+
+
 @functools.partial(jax.jit, static_argnames=("max_out",))
 def _compact(dr, keep, max_out: int):
     flat = dr.reshape(-1)
@@ -306,42 +337,46 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         # through the XLA path; the in-VMEM select chains scale ~n/128
         return None
 
-    nwin = max(codes.size - TL + 1, 0)
-    nblocks = max(-(-nwin // (RWIN * LANES)), 1)
-    c32 = np.where(codes < 4, codes, 4).astype(np.int32)
-    tiles = _restructure(jnp.asarray(c32), nblocks=nblocks, TL=TL)
+    from metakssd_tpu.ops.sketch_xla import pack_codes
+
     a2d = jnp.asarray(a_tups.reshape(-1, LANES))
     p2d = jnp.asarray(a_pf.reshape(-1, LANES))
-    kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
-              n_accept=n_accept, interpret=interpret)
+    ext = _ext(TL)
+    BW = RWIN * LANES
+    maxwin = _NB_BUCKETS[-1] * BW
+    nwin_total = max(codes.size - TL + 1, 0)
 
-    if compact:
-        surv, counts = sketch_tiles_compact_pallas(tiles, a2d, p2d, **kw)
-        counts = np.asarray(counts).reshape(-1)
-        surv = np.asarray(surv).reshape(nblocks, -1)
-        # valid slots are lane-strided; unused slots hold the sentinel
-        parts = [surv[b][surv[b] != np.uint32(SENT)]
-                 for b in range(nblocks) if counts[b] <= MAXS]
-        bad = [b for b in range(nblocks) if counts[b] > MAXS]
+    parts = []
+    for start in range(0, max(nwin_total, 1), maxwin):
+        nw_real = min(maxwin, max(nwin_total - start, 0))
+        nblocks = _nb_bucket(max(-(-nw_real // BW), 1))
+        need = nblocks * BW + RWIN + ext
+        buf = np.full(need, 255, np.uint8)
+        seg = codes[start:start + nw_real + TL - 1]
+        buf[:seg.size] = seg
+        packed, vmask = pack_codes(buf)
+        tiles = _restructure_packed(jnp.asarray(packed),
+                                    jnp.asarray(vmask),
+                                    nblocks=nblocks, TL=TL, n=need)
+        kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
+                  n_accept=n_accept, interpret=interpret)
+        if compact:
+            surv, counts = sketch_tiles_compact_pallas(tiles, a2d, p2d,
+                                                       **kw)
+            counts = np.asarray(counts).reshape(-1)
+            surv = np.asarray(surv).reshape(nblocks, -1)
+            # valid slots are lane-strided; unused hold the sentinel
+            parts += [surv[b][surv[b] != np.uint32(SENT)]
+                      for b in range(nblocks) if counts[b] <= MAXS]
+            bad = [b for b in range(nblocks) if counts[b] > MAXS]
+        else:
+            bad = list(range(nblocks))
         if bad:
             dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
             dr = np.asarray(dr)
             keep = np.asarray(keep).astype(bool)
-            for b in bad:
-                parts.append(dr[b][keep[b]])
-        out = (np.concatenate(parts) if parts
-               else np.zeros(0, np.uint32))
-        out.sort()
-        return out, out.size
+            parts += [dr[b][keep[b]] for b in bad]
 
-    dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
-    max_out = max((nblocks * RWIN * LANES) >> 8, 1 << 12)
-    keys, count = _compact(dr, keep, max_out)
-    count = int(count)
-    if count > max_out:
-        full = np.asarray(dr.reshape(-1))
-        kp = np.asarray(keep.reshape(-1)).astype(bool)
-        out = full[kp]
-        out.sort()
-        return out, count
-    return np.asarray(keys)[:count], count
+    out = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+    out.sort()
+    return out, out.size
