@@ -36,23 +36,49 @@ ED_PCTL = 0.99
 # profiling
 # --------------------------------------------------------------------------
 
-def _match_abund(qry_ids_s: np.ndarray, qry_ab_s: np.ndarray,
-                 ref_ids: np.ndarray, order: np.ndarray,
-                 use_pallas=None) -> tuple[np.ndarray, np.ndarray]:
-    """For each reference k-mer (arbitrary order): (matched?, abundance).
+class _CompIndex:
+    """Per-component MarkerDB match index, staged to device once.
 
-    ``order`` pre-sorts ref_ids so the merge-path kernel can run; results
-    scatter back to the original posting order.
+    Sorted distinct reference k-mers are the (static) haystack; each
+    query's sorted sketch is the needle set, so the per-sample transfer
+    is a few hundred KB instead of the whole DB (reference instead
+    builds a per-query hash and scans every ref k-mer,
+    command_composite.c:535-566).
     """
-    from metakssd_tpu.ops import merge as merge_ops
-    m_s, v_s = merge_ops.sorted_membership(
-        qry_ids_s, qry_ab_s.astype(np.uint32), ref_ids[order],
-        use_pallas=use_pallas)
-    member = np.empty(ref_ids.size, dtype=bool)
-    ab = np.empty(ref_ids.size, dtype=np.uint32)
-    member[order] = m_s
-    ab[order] = v_s
-    return member, ab
+
+    def __init__(self, ref_ids: np.ndarray, prow: np.ndarray):
+        from metakssd_tpu.ops import merge as merge_ops
+        order = np.argsort(ref_ids, kind="stable")
+        sk = ref_ids[order]
+        self.gid_sorted = prow[order]
+        self.rk, starts = np.unique(sk, return_index=True)
+        self.starts = np.empty(self.rk.size + 1, dtype=np.int64)
+        self.starts[:-1] = starts
+        self.starts[-1] = sk.size
+        self.hay = merge_ops.StaticHaystack(
+            self.rk, np.arange(self.rk.size, dtype=np.uint32))
+
+    def match(self, qids_s: np.ndarray, qab_s: np.ndarray, use_pallas
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """(matched posting genomes, matched posting abundances): for
+        every (ref genome, k-mer) posting whose k-mer is in the query,
+        the genome id and the query abundance of that k-mer."""
+        from metakssd_tpu.ops import merge as merge_ops
+        member, pos = merge_ops.sorted_membership(
+            self.hay, None, qids_s, use_pallas=use_pallas)
+        rows = pos[member].astype(np.int64)
+        ab = qab_s[member]
+        st, en = self.starts[rows], self.starts[rows + 1]
+        lens = en - st
+        total = int(lens.sum())
+        if total == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.uint16))
+        bnd = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=bnd[1:])
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(bnd, lens) + np.repeat(st, lens))
+        return (self.gid_sorted[flat].astype(np.int32),
+                np.repeat(ab, lens))
 
 
 def _profile_stats(matched_ab: np.ndarray):
@@ -93,31 +119,39 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
               f"not match ref shuf_id: {ref.stat.shuf_id}", file=sys.stderr)
 
     nref = ref.stat.infile_num
-    # posting -> genome map + sorted posting order per component
-    # (precomputed once per MarkerDB load)
-    prows, orders = [], []
+    # per-component match index (staged to device once per MarkerDB)
+    comp_idx = []
     for c in range(ref.stat.comp_num):
         lens = np.diff(ref.index[c].astype(np.int64))
-        prows.append(np.repeat(np.arange(nref, dtype=np.int32), lens))
-        orders.append(np.argsort(ref.ids[c], kind="stable"))
+        prow = np.repeat(np.arange(nref, dtype=np.int32), lens)
+        comp_idx.append(_CompIndex(ref.ids[c], prow)
+                        if ref.ids[c].size else None)
 
     use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):
-        counts = np.zeros(nref, dtype=np.int64)
-        matched: list[tuple[np.ndarray, np.ndarray]] = []  # per comp (mask, ab)
+        m_gid: list[np.ndarray] = []
+        m_ab: list[np.ndarray] = []
         for c in range(ref.stat.comp_num):
             qids = qry.genome_ids(c, qn)
             qab = qry.genome_abund(c, qn)
             order = np.argsort(qids, kind="stable")
             qids_s, qab_s = qids[order], qab[order]
-            if qids_s.size == 0 or ref.ids[c].size == 0:
-                matched.append((np.zeros(ref.ids[c].size, bool),
-                                np.zeros(ref.ids[c].size, np.uint16)))
+            if qids_s.size == 0 or comp_idx[c] is None:
                 continue
-            m, ab = _match_abund(qids_s, qab_s, ref.ids[c], orders[c],
-                                 use_pallas=use_pallas)
-            matched.append((m, ab))
-            counts += np.bincount(prows[c][m], minlength=nref)
+            g, ab = comp_idx[c].match(qids_s, qab_s, use_pallas)
+            m_gid.append(g)
+            m_ab.append(ab)
+        all_g = (np.concatenate(m_gid) if m_gid
+                 else np.zeros(0, np.int32))
+        all_ab = (np.concatenate(m_ab) if m_ab
+                  else np.zeros(0, np.uint16))
+        counts = np.bincount(all_g, minlength=nref).astype(np.int64)
+        # group matched abundances by genome once (vs a per-genome scan
+        # over every posting)
+        gorder = np.argsort(all_g, kind="stable")
+        ab_sorted = all_ab[gorder]
+        gstarts = np.searchsorted(all_g[gorder],
+                                  np.arange(nref + 1, dtype=np.int64))
 
         # sort refs by shared count desc, ties stable (glibc mergesort)
         order = np.argsort(-counts, kind="stable")
@@ -127,9 +161,8 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
             kmer_num = int(counts[rn_i])
             if kmer_num < min_km_s:
                 break
-            ab_list = np.concatenate([
-                matched[c][1][(prows[c] == rn_i) & matched[c][0]]
-                for c in range(ref.stat.comp_num)]).astype(np.int64)
+            ab_list = ab_sorted[gstarts[rn_i]:gstarts[rn_i + 1]] \
+                .astype(np.int64)
             total, avg, avg9899, median, mx = _profile_stats(ab_list)
             if binvec:
                 if median > 1 and kmer_num > min_km_s + 1:

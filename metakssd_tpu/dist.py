@@ -70,16 +70,29 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
         inv = get_inv(c)
         if inv.kmers.size == 0:
             continue
-        lens = np.diff(inv.offsets.astype(np.int64))
-        prow = np.repeat(np.arange(inv.kmers.size), lens)
+        # the DB is the (large, static) haystack staged once; each query
+        # sketch is the (small) needle set — values=arange returns the
+        # matched row index so only hit rows' postings are ever touched
+        hay = merge_ops.StaticHaystack(
+            inv.kmers, np.arange(inv.kmers.size, dtype=np.uint32))
+        offs = inv.offsets.astype(np.int64)
         for q in range(qnum):
             qids = np.sort(qry.genome_ids(c, q))
             if qids.size == 0:
                 continue
-            member, _ = merge_ops.sorted_membership(
-                qids, None, inv.kmers, use_pallas=use_pallas)
-            hits = member[prow]
-            out[q] += np.bincount(inv.gids[hits],
+            member, pos = merge_ops.sorted_membership(
+                hay, None, qids, use_pallas=use_pallas)
+            rows = pos[member].astype(np.int64)
+            starts, ends = offs[rows], offs[rows + 1]
+            lens = ends - starts
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            bnd = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=bnd[1:])
+            flat = (np.arange(total, dtype=np.int64)
+                    - np.repeat(bnd, lens) + np.repeat(starts, lens))
+            out[q] += np.bincount(inv.gids[flat],
                                   minlength=num_refs).astype(np.uint32)
     return out
 
