@@ -59,14 +59,17 @@ def _bench_reference(fq: str, shufp: str) -> float:
     if not binpath:
         return 0.0
     out = os.path.join(CACHE, "ref_out")
-    subprocess.run(["rm", "-rf", out])
-    t0 = time.time()
-    r = subprocess.run([binpath, "dist", "-L", shufp, "-A", "-o", out, fq],
-                       capture_output=True)
-    dt = time.time() - t0
-    if r.returncode != 0:
-        return 0.0
-    return N_READS / dt
+    best = float("inf")
+    for _ in range(int(os.environ.get("MKSSD_BENCH_REPS", 3))):
+        subprocess.run(["rm", "-rf", out])
+        t0 = time.time()
+        r = subprocess.run([binpath, "dist", "-L", shufp, "-A", "-o", out,
+                            fq], capture_output=True)
+        dt = time.time() - t0
+        if r.returncode != 0:
+            return 0.0
+        best = min(best, dt)
+    return N_READS / best
 
 
 def _bench_ours(fq: str, shufp: str) -> float:

@@ -307,6 +307,28 @@ def _nb_bucket(nb: int) -> int:
     return _NB_BUCKETS[-1]
 
 
+def _greedy_plan(nb_needed: int) -> list:
+    """Split nb_needed blocks into bucket-sized dispatches, trading
+    padded (wasted) windows against dispatch count: round up to one
+    bucket when the waste is <= 25%, else emit the largest bucket that
+    fits and recurse on the remainder."""
+    plan = []
+    rem = nb_needed
+    while rem > 0:
+        if rem >= _NB_BUCKETS[-1]:
+            plan.append(_NB_BUCKETS[-1])
+            rem -= _NB_BUCKETS[-1]
+            continue
+        hi = _nb_bucket(rem)           # smallest bucket >= rem
+        if hi * 3 <= rem * 4:          # <= 33% padding: finish in one
+            plan.append(hi)
+            break
+        lo = max(b for b in _NB_BUCKETS if b <= rem)
+        plan.append(lo)
+        rem -= lo
+    return plan
+
+
 @functools.partial(jax.jit, static_argnames=("max_out",))
 def _compact(dr, keep, max_out: int):
     flat = dr.reshape(-1)
@@ -343,13 +365,15 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     p2d = jnp.asarray(a_pf.reshape(-1, LANES))
     ext = _ext(TL)
     BW = RWIN * LANES
-    maxwin = _NB_BUCKETS[-1] * BW
     nwin_total = max(codes.size - TL + 1, 0)
 
     parts = []
-    for start in range(0, max(nwin_total, 1), maxwin):
-        nw_real = min(maxwin, max(nwin_total - start, 0))
-        nblocks = _nb_bucket(max(-(-nw_real // BW), 1))
+    plan = _greedy_plan(max(-(-nwin_total // BW), 1))
+    starts = [0]
+    for nb in plan[:-1]:
+        starts.append(starts[-1] + nb * BW)
+    for start, nblocks in zip(starts, plan):
+        nw_real = min(nblocks * BW, max(nwin_total - start, 0))
         need = nblocks * BW + RWIN + ext
         buf = np.full(need, 255, np.uint8)
         seg = codes[start:start + nw_real + TL - 1]
