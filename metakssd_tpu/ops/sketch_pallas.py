@@ -336,6 +336,12 @@ def _compact(dr, keep, max_out: int):
     return srt[:max_out], jnp.sum(keep)
 
 
+@jax.jit
+def _sort_flat(surv):
+    """Sort all survivor slots; SENT pads sort to the back (uint32)."""
+    return jnp.sort(surv.reshape(-1))
+
+
 def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                         interpret: bool = False, compact: bool = True):
     """codes uint8 -> (sorted survivor drtuples uint32, count) on device.
@@ -372,6 +378,10 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     starts = [0]
     for nb in plan[:-1]:
         starts.append(starts[-1] + nb * BW)
+
+    # phase A: queue every chunk's transfer + kernel without a single
+    # host sync, so h2d of chunk i+1 overlaps chunk i's compute
+    pending = []
     for start, nblocks in zip(starts, plan):
         nw_real = min(nblocks * BW, max(nwin_total - start, 0))
         need = nblocks * BW + RWIN + ext
@@ -387,19 +397,37 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         if compact:
             surv, counts = sketch_tiles_compact_pallas(tiles, a2d, p2d,
                                                        **kw)
+            # device-side sort pushes pad sentinels to the back so the
+            # host reads back only the exact survivor prefix (~2% of
+            # the tile) instead of the whole thing
+            flat = _sort_flat(surv)
+            pending.append((tiles, kw, surv, counts, flat))
+        else:
+            pending.append((tiles, kw, None, None, None))
+
+    # phase B: resolve counts, read back survivor prefixes / rerun
+    # overflowing chunks exactly
+    for tiles, kw, surv, counts, flat in pending:
+        nblocks = kw["nblocks"]
+        if counts is not None:
             counts = np.asarray(counts).reshape(-1)
+            bad = [b for b in range(nblocks) if counts[b] > MAXS]
+            if not bad:
+                total = int(counts.sum())
+                if total:
+                    parts.append(np.asarray(flat[:total]))
+                continue
+            # mixed chunk: salvage good blocks from the unsorted tile,
+            # rerun bad ones through the exact full-output kernel
             surv = np.asarray(surv).reshape(nblocks, -1)
-            # valid slots are lane-strided; unused hold the sentinel
             parts += [surv[b][surv[b] != np.uint32(SENT)]
                       for b in range(nblocks) if counts[b] <= MAXS]
-            bad = [b for b in range(nblocks) if counts[b] > MAXS]
         else:
             bad = list(range(nblocks))
-        if bad:
-            dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
-            dr = np.asarray(dr)
-            keep = np.asarray(keep).astype(bool)
-            parts += [dr[b][keep[b]] for b in bad]
+        dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
+        dr = np.asarray(dr)
+        keep = np.asarray(keep).astype(bool)
+        parts += [dr[b][keep[b]] for b in bad]
 
     out = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
     out.sort()
