@@ -38,6 +38,17 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    if not hasattr(lib, "fastseq_pack_range"):
+        # stale build from an older source revision: rebuild once
+        try:
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR,
+                            "libfastseq.so"], check=True,
+                           capture_output=True)
+            lib = ctypes.CDLL(_SO)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            return None
+        if not hasattr(lib, "fastseq_pack_range"):
+            return None
     lib.fastseq_parse_fasta.restype = ctypes.c_void_p
     lib.fastseq_parse_fasta.argtypes = [ctypes.c_char_p]
     lib.fastseq_parse_fastq.restype = ctypes.c_void_p
@@ -52,6 +63,11 @@ def _load():
     lib.fastseq_starts_ptr.argtypes = [ctypes.c_void_p]
     lib.fastseq_free.restype = None
     lib.fastseq_free.argtypes = [ctypes.c_void_p]
+    lib.fastseq_pack_range.restype = None
+    lib.fastseq_pack_range.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
     _lib = lib
     return _lib
 
@@ -91,3 +107,22 @@ def parse_fastq(path: str, min_qual: int = 0):
     if not h:
         raise OSError(f"fastseq: cannot open {path}")
     return _extract(lib, h)
+
+
+def pack_range(codes: np.ndarray, start: int, n: int):
+    """(packed u32, vmask u32) for codes[start:start+n] padded to a
+    32-multiple with invalid — one native pass, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    npad = -(-n // 32) * 32
+    packed = np.zeros(npad // 16, dtype=np.uint32)
+    vmask = np.zeros(npad // 32, dtype=np.uint32)
+    lib.fastseq_pack_range(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(codes.size), ctypes.c_int64(start),
+        ctypes.c_int64(n), ctypes.c_int64(npad),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return packed, vmask

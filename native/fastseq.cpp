@@ -154,4 +154,26 @@ const int64_t* fastseq_starts_ptr(void* h) {
 }
 void fastseq_free(void* h) { delete (ParseResult*)h; }
 
+// 2-bit pack a [start, start+n) range of a code array into the layout
+// the device kernels unpack (base i -> bits 2*(i%16) of packed[i/16];
+// validity bit i%32 of vmask[i/32]; see sketch_xla.pack_codes).
+// Positions beyond the array (or beyond n, up to the 32-aligned npad)
+// are invalid.  One pass, no intermediate buffers.
+void fastseq_pack_range(const uint8_t* codes, int64_t size, int64_t start,
+                        int64_t n, int64_t npad,
+                        uint32_t* packed, uint32_t* vmask) {
+    memset(packed, 0, (size_t)(npad / 16) * 4);
+    memset(vmask, 0, (size_t)(npad / 32) * 4);
+    int64_t lo = start < 0 ? -start : 0;             // clamp to array
+    int64_t hi = n;
+    if (start + hi > size) hi = size - start;
+    for (int64_t i = lo; i < hi; i++) {
+        uint8_t c = codes[start + i];
+        if (c < 4) {
+            packed[i >> 4] |= (uint32_t)c << (2 * (i & 15));
+            vmask[i >> 5] |= 1u << (i & 31);
+        }
+    }
+}
+
 }  // extern "C"
