@@ -1,13 +1,24 @@
 #!/usr/bin/env python
 """Benchmark: metagenome sketching throughput (the per-sample hot path,
-reference call stack §3.1) vs the reference C binary on the same input.
+reference call stack SURVEY §3.1) vs the reference C binary on the same
+input, plus profile-latency and abv-search throughput extras.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 vs_baseline = our reads/s divided by the reference binary's reads/s on
 the identical fastq + shuffle (reference built from /root/reference when
 available; vs_baseline = 0.0 if it cannot be built).
+
+Wedge-proofing (a killed in-flight dispatch can hang the remote TPU for
+hours; the bench must always print its line):
+  * every measurement that may touch the device runs in a *subprocess*
+    under a timeout generous enough to let in-flight work finish;
+  * the main process never imports jax;
+  * on any device failure the subprocess is re-run with JAX_PLATFORMS
+    pinned to cpu, where sketching uses the native OpenMP engine
+    (native/sketch_cpu.cpp) — itself several times faster than the
+    reference binary.
 """
 
 import json
@@ -24,14 +35,20 @@ CACHE = os.path.join(REPO, ".bench_cache")
 
 N_READS = int(os.environ.get("MKSSD_BENCH_READS", 200_000))
 READ_LEN = 100
+REPS = int(os.environ.get("MKSSD_BENCH_REPS", 3))
+WORKER_TIMEOUT = int(os.environ.get("MKSSD_BENCH_TIMEOUT", 1500))
 
+
+# --------------------------------------------------------------------------
+# input preparation (main process; no jax)
+# --------------------------------------------------------------------------
 
 def _prepare():
     os.makedirs(CACHE, exist_ok=True)
     fq = os.path.join(CACHE, f"sample_{N_READS}.fq")
     shufp = os.path.join(CACHE, "bench_l3k11.shuf")
     from metakssd_tpu.params import SketchParams
-    from metakssd_tpu.formats.shuf import make_shuf, write_shuf, read_shuf
+    from metakssd_tpu.formats.shuf import make_shuf, write_shuf
     if not os.path.exists(shufp):
         write_shuf(shufp, make_shuf(SketchParams(k=11, subk=6, drlevel=3),
                                     seed=1234))
@@ -48,19 +65,23 @@ def _prepare():
     return fq, shufp
 
 
-def _bench_reference(fq: str, shufp: str) -> float:
-    """Reference reads/s (0.0 if oracle unavailable)."""
+def _oracle_bin():
     sys.path.insert(0, os.path.join(REPO, "tests"))
     try:
         from tests import oracle
     except ImportError:
         import oracle  # type: ignore
-    binpath = oracle.ensure_oracle()
+    return oracle.ensure_oracle()
+
+
+def _bench_reference(fq: str, shufp: str) -> float:
+    """Reference reads/s (0.0 if oracle unavailable)."""
+    binpath = _oracle_bin()
     if not binpath:
         return 0.0
     out = os.path.join(CACHE, "ref_out")
     best = float("inf")
-    for _ in range(int(os.environ.get("MKSSD_BENCH_REPS", 3))):
+    for _ in range(REPS):
         subprocess.run(["rm", "-rf", out])
         t0 = time.time()
         r = subprocess.run([binpath, "dist", "-L", shufp, "-A", "-o", out,
@@ -72,60 +93,189 @@ def _bench_reference(fq: str, shufp: str) -> float:
     return N_READS / best
 
 
-def _bench_ours(fq: str, shufp: str) -> float:
-    import jax
+# --------------------------------------------------------------------------
+# our measurements (worker subprocess; may touch the device)
+# --------------------------------------------------------------------------
+
+def _worker_sketch(fq: str, shufp: str, backend: str) -> float:
+    os.environ["MKSSD_BACKEND"] = backend
     from metakssd_tpu.formats.shuf import read_shuf
     from metakssd_tpu.io import seqio
     from metakssd_tpu.ops import sketch_xla
-    from metakssd_tpu import pipeline
+    from metakssd_tpu.formats.costat import CoStat
+    from metakssd_tpu.formats.codir import write_codir
 
     shuf = read_shuf(shufp)
     accept = shuf.device_tables()
-    n_dev = len(jax.devices())
-    mesh = None
-    if n_dev > 1:
-        from metakssd_tpu.parallel import mesh as pmesh
-        mesh = pmesh.make_mesh(n_data=n_dev, n_db=1)
 
-    def sketch(codes):
-        if mesh is not None:
-            from metakssd_tpu.parallel import mesh as pmesh
-            dr = pmesh.sharded_sketch(codes, shuf, mesh)
-            uniq, counts = np.unique(dr, return_counts=True)
-            p = shuf.params
-            counts = np.minimum(counts, 0xFFFF).astype(np.uint16)
-            comp = (uniq % np.uint64(p.component_num)).astype(np.int64)
-            ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
-            return [(ids[comp == ci], counts[comp == ci])
-                    for ci in range(p.component_num)]
-        return sketch_xla.sketch_to_sets(codes, shuf, mode="koc",
+    def run_once():
+        out = os.path.join(CACHE, f"mine_out_{backend}")
+        t0 = time.time()
+        codes, _ = seqio.fastq_to_codes(fq, min_qual=0)
+        sets = sketch_xla.sketch_to_sets(codes, shuf, mode="koc",
                                          accept=accept)
+        p = shuf.params
+        ctx = np.array([sum(s[0].size for s in sets)], dtype=np.uint32)
+        stat = CoStat(p.shuf_id, True, 2 * p.k, 2 * p.drlevel,
+                      p.component_num, int(ctx.sum()), ctx, [fq])
+        write_codir(out, stat, [sets])
+        return time.time() - t0
 
-    # warmup: compile the kernel shapes on a small prefix
-    codes_w = np.full(1 << 16, 1, dtype=np.uint8)
-    sketch(codes_w)
+    if backend == "tpu":
+        # warm up compiled shapes on a small prefix (persistent-cache hit
+        # after the first ever run)
+        codes_w = np.full(1 << 16, 1, dtype=np.uint8)
+        sketch_xla.sketch_to_sets(codes_w, shuf, mode="koc", accept=accept)
+    best = min(run_once() for _ in range(REPS))
+    return N_READS / best
 
-    out = os.path.join(CACHE, "mine_out")
+
+def _worker_main(argv) -> None:
+    """bench.py --worker <task> <backend>; prints one JSON line."""
+    task, backend = argv[0], argv[1]
+    if backend == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    fq, shufp = _prepare()
+    res = {}
+    if task == "sketch":
+        res["reads_per_s"] = _worker_sketch(fq, shufp, backend)
+    elif task == "profile":
+        res.update(_worker_profile(backend))
+    elif task == "abv":
+        res.update(_worker_abv(backend))
+    print("WORKER_RESULT " + json.dumps(res), flush=True)
+
+
+def _run_worker(task: str, backend: str, timeout: int):
+    """Run a measurement in a subprocess; None on failure/timeout."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", task,
+             backend], capture_output=True, timeout=timeout, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: worker {task}/{backend} timed out", file=sys.stderr)
+        return None
+    for line in r.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    print(f"bench: worker {task}/{backend} failed rc={r.returncode}\n"
+          + (r.stderr or "")[-2000:], file=sys.stderr)
+    return None
+
+
+# --------------------------------------------------------------------------
+# profile latency + abv search (synthetic MarkerDB; oracle-matched)
+# --------------------------------------------------------------------------
+
+N_SPECIES = int(os.environ.get("MKSSD_BENCH_SPECIES", 4096))
+IDS_PER_SPECIES = 3000
+
+
+def _profile_fixture():
+    """MarkerDB-scale fixture: a real koc query sketch of the bench fastq
+    plus a synthetic reference sketch dir (N_SPECIES species x ~3K ids,
+    ~12M postings — profiling consumes only the artifacts, so the db
+    sketches are drawn directly rather than sketched from genomes).
+    Both toolchains read the same files."""
+    dbdir = os.path.join(CACHE, f"prof_db_{N_SPECIES}")
+    qdir = os.path.join(CACHE, "prof_qry")
+    fq, shufp = _prepare()
+    if not os.path.exists(os.path.join(qdir, "cofiles.stat")):
+        from metakssd_tpu import cli
+        cli.main(["dist", "-L", shufp, "-A", "-o", qdir, fq])
+    if not os.path.exists(os.path.join(dbdir, "cofiles.stat")):
+        from metakssd_tpu.formats.codir import CoDir, write_codir
+        from metakssd_tpu.formats.costat import CoStat
+        from metakssd_tpu.formats.shuf import read_shuf
+        rng = np.random.default_rng(21)
+        q = CoDir.read(qdir, want_abund=False)
+        qids = np.asarray(q.ids[0])
+        p = read_shuf(shufp).params
+        per_genome = []
+        for i in range(N_SPECIES):
+            own = rng.integers(0, 1 << 32, size=IDS_PER_SPECIES,
+                               dtype=np.uint32)
+            mix = rng.choice(qids, size=min(qids.size // 2, 500),
+                             replace=False)
+            ids = np.unique(np.concatenate([own, mix]))
+            per_genome.append([(ids, None)])
+        ctx = np.array([g[0][0].size for g in per_genome], dtype=np.uint32)
+        stat = CoStat(p.shuf_id, False, 2 * p.k, 2 * p.drlevel, 1,
+                      int(ctx.sum()), ctx,
+                      [f"sp{i}" for i in range(N_SPECIES)])
+        write_codir(dbdir, stat, per_genome)
+    return dbdir, qdir, shufp
+
+
+def _worker_profile(backend: str) -> dict:
+    os.environ["MKSSD_BACKEND"] = backend
+    dbdir, qdir, shufp = _profile_fixture()
+    from metakssd_tpu import composite
+    outp = os.path.join(CACHE, "prof_out.tsv")
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        with open(outp, "w") as f:
+            composite.get_species_abundance(dbdir, qdir, out=f)
+        best = min(best, time.time() - t0)
+    res = {"profile_latency_s": best}
+    # oracle baseline on the identical artifacts
+    binpath = _oracle_bin()
+    if binpath:
+        ref_best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            r = subprocess.run([binpath, "composite", "-r", dbdir, "-q",
+                                qdir], capture_output=True)
+            if r.returncode == 0:
+                ref_best = min(ref_best, time.time() - t0)
+        if np.isfinite(ref_best):
+            res["profile_ref_latency_s"] = ref_best
+    return res
+
+
+def _worker_abv(backend: str) -> dict:
+    os.environ["MKSSD_BACKEND"] = backend
+    from metakssd_tpu import composite
+    dbdir, _, _ = _profile_fixture()
+    # synthetic abv corpus over the fixture MarkerDB's species
+    rng = np.random.default_rng(5)
+    abvdir = os.path.join(dbdir, "abundance_Vec")
+    os.makedirs(abvdir, exist_ok=True)
+    nsp, nsamp = 64, 4096
+    if not os.listdir(abvdir):
+        for s in range(nsamp):
+            nd = int(rng.integers(8, 48))
+            idx = np.sort(rng.choice(nsp, nd, replace=False)).astype(np.int32)
+            pct = (rng.random(nd).astype(np.float32) * 10).astype(np.float32)
+            from metakssd_tpu.formats.abv import write_abv_file
+            write_abv_file(os.path.join(abvdir, f"s{s}.abv"), idx, pct)
+    composite.index_abv(dbdir)
+    qfiles = sorted(os.listdir(abvdir))[:64]
     t0 = time.time()
-    codes, _ = seqio.fastq_to_codes(fq, min_qual=0)
-    sets = sketch(codes)
-    # write the sketch dir (part of the end-to-end path)
-    from metakssd_tpu.formats.costat import CoStat
-    from metakssd_tpu.formats.codir import write_codir
-    p = shuf.params
-    ctx = np.array([sum(s[0].size for s in sets)], dtype=np.uint32)
-    stat = CoStat(p.shuf_id, True, 2 * p.k, 2 * p.drlevel,
-                  p.component_num, int(ctx.sum()), ctx, [fq])
-    write_codir(out, stat, [sets])
+    with open(os.devnull, "w") as devnull:
+        for qf in qfiles:
+            composite.abv_search(dbdir, [os.path.join(abvdir, qf)],
+                                 mode=2, out=devnull)
     dt = time.time() - t0
-    return N_READS / dt
+    return {"abv_queries_per_s": len(qfiles) / dt}
 
 
-def _device_healthy(timeout_s: int = 90) -> bool:
+# --------------------------------------------------------------------------
+# orchestration
+# --------------------------------------------------------------------------
+
+def _device_healthy(timeout_s: int = 240) -> bool:
     """Probe device execution in a subprocess (a wedged TPU tunnel hangs
-    forever; the bench must always print its JSON line)."""
-    code = ("import jax, jax.numpy as jnp;"
-            "print(int(jnp.arange(8).sum()))")
+    forever).  Generous timeout: a cold tunnel has been observed to take
+    >200 s for its first dispatch."""
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "print(int(np.asarray(jnp.arange(8).sum())))")
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, timeout=timeout_s)
@@ -135,22 +285,49 @@ def _device_healthy(timeout_s: int = 90) -> bool:
 
 
 def main() -> None:
-    if not _device_healthy():
-        import jax
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        jax.config.update("jax_platforms", "cpu")
-        print("bench: device unhealthy, falling back to CPU",
-              file=sys.stderr)
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        _worker_main(sys.argv[2:])
+        return
+
     fq, shufp = _prepare()
     ref_rps = _bench_reference(fq, shufp)
-    best = 0.0
-    for _ in range(int(os.environ.get("MKSSD_BENCH_REPS", 3))):
-        best = max(best, _bench_ours(fq, shufp))
+
+    healthy = _device_healthy()
+    if not healthy:
+        print("bench: device unhealthy; all measurements on cpu",
+              file=sys.stderr)
+
+    extra = {}
+    # framework default path (auto backend: native host engine behind a
+    # tunnel-attached TPU, device path on a colocated TPU)
+    res = _run_worker("sketch", "auto" if healthy else "cpu",
+                      WORKER_TIMEOUT)
+    if res is None and healthy:
+        res = _run_worker("sketch", "cpu", WORKER_TIMEOUT)
+    value = res["reads_per_s"] if res else 0.0
+
+    if healthy:
+        tpu = _run_worker("sketch", "tpu", WORKER_TIMEOUT)
+        if tpu:
+            extra["tpu_reads_per_s"] = round(tpu["reads_per_s"], 1)
+            value = max(value, tpu["reads_per_s"])
+
+    prof = _run_worker("profile", "auto" if healthy else "cpu",
+                       WORKER_TIMEOUT)
+    if prof:
+        extra.update({k: round(v, 4) for k, v in prof.items()})
+    abv = _run_worker("abv", "cpu", WORKER_TIMEOUT)
+    if abv:
+        extra.update({k: round(v, 1) for k, v in abv.items()})
+    if ref_rps:
+        extra["ref_reads_per_s"] = round(ref_rps, 1)
+
     print(json.dumps({
         "metric": "fastq_sketch_reads_per_s",
-        "value": round(best, 1),
+        "value": round(value, 1),
         "unit": "reads/s",
-        "vs_baseline": round(best / ref_rps, 3) if ref_rps else 0.0,
+        "vs_baseline": round(value / ref_rps, 3) if ref_rps else 0.0,
+        "extra": extra,
     }))
 
 

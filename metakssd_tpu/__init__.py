@@ -19,6 +19,30 @@ Design stance (vs the reference C implementation):
     other's databases.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from metakssd_tpu.params import SketchParams  # noqa: F401
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (works through the remote-TPU
+    tunnel too: measured 23 s -> 0.5 s for a warm first dispatch).  Set
+    MKSSD_NO_COMPILE_CACHE=1 to disable; MKSSD_COMPILE_CACHE overrides
+    the location."""
+    if _os.environ.get("MKSSD_NO_COMPILE_CACHE") == "1":
+        return
+    path = _os.environ.get("MKSSD_COMPILE_CACHE") or _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+from metakssd_tpu.params import SketchParams  # noqa: F401, E402

@@ -44,19 +44,33 @@ class _CompIndex:
     is a few hundred KB instead of the whole DB (reference instead
     builds a per-query hash and scans every ref k-mer,
     command_composite.c:535-566).
+
+    Like the reference's stage II (co2mco: invert once, search many),
+    the inversion is built once and persisted as a sidecar next to the
+    MarkerDB (see stage_markerdb); later profiling runs mmap it.
     """
 
-    def __init__(self, ref_ids: np.ndarray, prow: np.ndarray):
+    def __init__(self, ref_ids: np.ndarray, prow: np.ndarray,
+                 staged: tuple | None = None):
         from metakssd_tpu.ops import merge as merge_ops
-        order = np.argsort(ref_ids, kind="stable")
-        sk = ref_ids[order]
-        self.gid_sorted = prow[order]
-        self.rk, starts = np.unique(sk, return_index=True)
-        self.starts = np.empty(self.rk.size + 1, dtype=np.int64)
-        self.starts[:-1] = starts
-        self.starts[-1] = sk.size
+        if staged is not None:
+            self.rk, self.starts, self.gid_sorted = staged
+        else:
+            order = np.argsort(ref_ids)
+            sk = ref_ids[order]
+            self.gid_sorted = prow[order]
+            # unique of a sorted array without np.unique's second sort
+            first = np.empty(sk.size, dtype=bool)
+            first[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=first[1:])
+            self.rk = sk[first]
+            starts = np.flatnonzero(first)
+            self.starts = np.empty(self.rk.size + 1, dtype=np.int64)
+            self.starts[:-1] = starts
+            self.starts[-1] = sk.size
         self.hay = merge_ops.StaticHaystack(
-            self.rk, np.arange(self.rk.size, dtype=np.uint32))
+            np.asarray(self.rk),
+            np.arange(self.rk.size, dtype=np.uint32))
 
     def match(self, qids_s: np.ndarray, qab_s: np.ndarray, use_pallas
               ) -> tuple[np.ndarray, np.ndarray]:
@@ -103,6 +117,59 @@ def _profile_stats(matched_ab: np.ndarray):
     return total, avg, avg9899, median, int(s1[n])
 
 
+_STAGE_DIRNAME = ".mkssd_stage"
+_COMP_CACHE: dict = {}
+
+
+def stage_markerdb(refdir: str, ref: CoDir | None = None,
+                   persist: bool = True) -> list:
+    """Build (or load) the per-component match indexes of a MarkerDB.
+
+    The inverted layout (sorted distinct k-mers + posting offsets +
+    genome rows) is the analogue of the reference's stage II mco build:
+    computed once, persisted as .npy sidecars under
+    ``refdir/.mkssd_stage/``, mmap'd afterwards.  Falls back to
+    in-memory staging when refdir is not writable."""
+    stat_path = os.path.join(refdir, "cofiles.stat")
+    mtime = os.path.getmtime(stat_path) if os.path.exists(stat_path) else 0
+    key = (os.path.abspath(refdir), mtime)
+    if key in _COMP_CACHE:
+        return _COMP_CACHE[key]
+    ref = ref or CoDir.read(refdir, want_abund=False)
+    nref = ref.stat.infile_num
+    sdir = os.path.join(refdir, _STAGE_DIRNAME)
+    comp_idx = []
+    for c in range(ref.stat.comp_num):
+        if not ref.ids[c].size:
+            comp_idx.append(None)
+            continue
+        pre = os.path.join(sdir, f"c{c}")
+        try:
+            if os.path.exists(pre + ".rk.npy") and \
+                    os.path.getmtime(pre + ".rk.npy") >= mtime:
+                staged = (np.load(pre + ".rk.npy", mmap_mode="r"),
+                          np.load(pre + ".st.npy", mmap_mode="r"),
+                          np.load(pre + ".gs.npy", mmap_mode="r"))
+                comp_idx.append(_CompIndex(None, None, staged=staged))
+                continue
+        except (OSError, ValueError):
+            pass
+        lens = np.diff(ref.index[c].astype(np.int64))
+        prow = np.repeat(np.arange(nref, dtype=np.int32), lens)
+        ci = _CompIndex(np.asarray(ref.ids[c]), prow)
+        comp_idx.append(ci)
+        if persist:
+            try:
+                os.makedirs(sdir, exist_ok=True)
+                np.save(pre + ".rk.npy", ci.rk)
+                np.save(pre + ".st.npy", ci.starts)
+                np.save(pre + ".gs.npy", ci.gid_sorted)
+            except OSError:
+                pass
+    _COMP_CACHE[key] = comp_idx
+    return comp_idx
+
+
 def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
                           binvec: bool = False, min_km_s: int = MIN_KM_S,
                           use_device: bool = True, out=None) -> None:
@@ -119,13 +186,8 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
               f"not match ref shuf_id: {ref.stat.shuf_id}", file=sys.stderr)
 
     nref = ref.stat.infile_num
-    # per-component match index (staged to device once per MarkerDB)
-    comp_idx = []
-    for c in range(ref.stat.comp_num):
-        lens = np.diff(ref.index[c].astype(np.int64))
-        prow = np.repeat(np.arange(nref, dtype=np.int32), lens)
-        comp_idx.append(_CompIndex(ref.ids[c], prow)
-                        if ref.ids[c].size else None)
+    # per-component match index (staged once per MarkerDB, then reused)
+    comp_idx = stage_markerdb(refdir, ref)
 
     use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):

@@ -38,7 +38,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if not hasattr(lib, "fastseq_pack_range"):
+    if not hasattr(lib, "sketch_cpu_run"):
         # stale build from an older source revision: rebuild once
         try:
             subprocess.run(["make", "-B", "-C", _NATIVE_DIR,
@@ -47,7 +47,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             return None
-        if not hasattr(lib, "fastseq_pack_range"):
+        if not hasattr(lib, "sketch_cpu_run"):
             return None
     lib.fastseq_parse_fasta.restype = ctypes.c_void_p
     lib.fastseq_parse_fasta.argtypes = [ctypes.c_char_p]
@@ -68,6 +68,15 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
+    lib.sketch_cpu_run.restype = ctypes.c_int64
+    lib.sketch_cpu_run.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
+    lib.sketch_cpu_free.restype = None
+    lib.sketch_cpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
     _lib = lib
     return _lib
 
@@ -107,6 +116,42 @@ def parse_fastq(path: str, min_qual: int = 0):
     if not h:
         raise OSError(f"fastseq: cannot open {path}")
     return _extract(lib, h)
+
+
+def sketch_cpu(codes: np.ndarray, shuf, accept=None,
+               nthreads: int = 0) -> np.ndarray | None:
+    """All accepted drtuples of a code stream (duplicates preserved,
+    unsorted), computed by the native OpenMP sketcher — the fast host
+    path when no healthy TPU is reachable.  Bit-identical to
+    golden.window_drtuples up to ordering; None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = shuf.params
+    if accept is None:
+        accept = shuf.device_tables()
+    a_tups = np.ascontiguousarray(accept[0], dtype=np.uint32)
+    a_pf = np.ascontiguousarray(accept[1], dtype=np.uint32)
+    a_mask = np.ascontiguousarray(
+        accept[2] if len(accept) > 2 else shuf.accept_bitmask(),
+        dtype=np.uint32)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    out_ptr = ctypes.POINTER(ctypes.c_uint64)()
+    n = lib.sketch_cpu_run(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(codes.size), p.k, p.subk, p.drlevel,
+        a_tups.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        a_pf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(a_tups.size),
+        a_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(nthreads), ctypes.byref(out_ptr))
+    if n == 0:
+        if out_ptr:
+            lib.sketch_cpu_free(out_ptr)
+        return np.zeros(0, dtype=np.uint64)
+    dr = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    lib.sketch_cpu_free(out_ptr)
+    return dr.astype(np.uint64, copy=False)
 
 
 def pack_range(codes: np.ndarray, start: int, n: int):

@@ -122,14 +122,31 @@ class StaticHaystack:
             values = np.zeros_like(self.haystack)
         self.values = np.asarray(values, dtype=np.uint32)
         nh = self.haystack.size
-        nh_pad = (-(-max(nh, 1) // W) + 1) * W
-        hay_pad = np.full(nh_pad, UINT32_MAX, dtype=np.uint32)
-        hay_pad[:nh] = self.haystack
-        val_pad = np.zeros(nh_pad, dtype=np.uint32)
-        val_pad[:nh] = self.values
-        self.nh_pad = nh_pad
-        self.hay2d = jax.device_put(hay_pad.reshape(-1, LANES))
-        self.val2d = jax.device_put(val_pad.reshape(-1, LANES))
+        self.nh_pad = (-(-max(nh, 1) // W) + 1) * W
+        # Device staging is deferred: host-fallback callers (use_pallas
+        # False, e.g. CPU paths on the tunnel-attached env) must never
+        # pay the h2d transfer for buffers they will not touch.
+        self._hay2d = None
+        self._val2d = None
+
+    def _stage(self):
+        if self._hay2d is None:
+            nh = self.haystack.size
+            hay_pad = np.full(self.nh_pad, UINT32_MAX, dtype=np.uint32)
+            hay_pad[:nh] = self.haystack
+            val_pad = np.zeros(self.nh_pad, dtype=np.uint32)
+            val_pad[:nh] = self.values
+            self._hay2d = jax.device_put(hay_pad.reshape(-1, LANES))
+            self._val2d = jax.device_put(val_pad.reshape(-1, LANES))
+        return self._hay2d, self._val2d
+
+    @property
+    def hay2d(self):
+        return self._stage()[0]
+
+    @property
+    def val2d(self):
+        return self._stage()[1]
 
 
 def sorted_membership(haystack, values, needles,
@@ -162,7 +179,12 @@ def sorted_membership(haystack, values, needles,
         return m, np.where(m, values[pos], 0).astype(np.uint32)
 
     if use_pallas is None:
-        use_pallas = interpret or _on_tpu()
+        # auto: device membership only pays off when the device is
+        # colocated (PCIe); through the axon tunnel the per-query d2h
+        # dominates (PERF.md).  MKSSD_BACKEND=tpu forces the device path.
+        from metakssd_tpu.ops.sketch_xla import _backend_policy
+        use_pallas = interpret or (_on_tpu()
+                                   and _backend_policy() == "tpu")
     if not use_pallas or needles.size < BLOCK or haystack.size == 0:
         return fallback(needles)
 

@@ -50,9 +50,30 @@ def _lookup(tab_rows: list, pos):
     return res
 
 
-def _window_compute(c_ref, accept_ref, pfil_ref, *,
+def _bfs_levels(accept_tups: np.ndarray) -> np.ndarray:
+    """Splitter values of the binary search, one contiguous row-group per
+    level (BFS layout): level d holds the 2^d values the search can
+    compare at step d, indexed by the path bits so far.  The kernel then
+    touches 1 row for levels up to 128 wide instead of select-chaining
+    across all n/128 rows of the full table every step."""
+    n = accept_tups.size
+    L = n.bit_length() - 1
+    rows = []
+    for d in range(L):
+        sz = 1 << d
+        step = n >> (d + 1)
+        vals = accept_tups[(2 * np.arange(sz) + 1) * step - 1]
+        row = np.zeros(max(LANES, sz), np.uint32)
+        row[:sz] = vals
+        rows.append(row.reshape(-1, LANES))
+    return np.concatenate(rows, axis=0)
+
+
+def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
                     k: int, subk: int, drlevel: int, n_accept: int):
-    """Shared window math: -> (dr uint32[RWIN,128], keep bool[RWIN,128])."""
+    """Shared window math: -> (base uint32, pos int32, keep bool), each
+    [RWIN, 128].  ``pos`` is the accept-table index of the window's inner
+    substring (valid where keep); drtuple = base + pfilters[pos]."""
     TL = 2 * k
     outctx = k - subk
 
@@ -97,17 +118,33 @@ def _window_compute(c_ref, accept_ref, pfil_ref, *,
 
     # branchless binary search over the sorted accept table
     rows = [accept_ref[v, :] for v in range(n_accept // LANES)]
-    prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
-    pos = jnp.zeros((RWIN, LANES), jnp.int32)
-    step = n_accept // 2
-    while step >= 1:
-        mid = pos + step - 1
-        val = _lookup(rows, mid)
-        pos = jnp.where(val < dim, pos + step, pos)
-        step //= 2
-    clamped = jnp.minimum(pos, n_accept - 1)
-    hit = (_lookup(rows, clamped) == dim) & (pos < n_accept)
-    pf = _lookup(prow, clamped)
+    if lev_ref is not None:
+        # BFS splitter layout: step d reads its 2^d-value level (1 row
+        # for d <= 7) instead of gathering across the full table
+        L = n_accept.bit_length() - 1
+        pos = jnp.zeros((RWIN, LANES), jnp.int32)
+        off = 0
+        for d in range(L):
+            sz = 1 << d
+            nrow = max(1, sz // LANES)
+            if sz <= LANES:
+                bc = jnp.broadcast_to(lev_ref[off, :][None, :], pos.shape)
+                val = jnp.take_along_axis(bc, pos, axis=1)
+            else:
+                val = _lookup([lev_ref[off + r, :] for r in range(nrow)],
+                              pos)
+            pos = 2 * pos + (val < dim).astype(jnp.int32)
+            off += nrow
+    else:
+        pos = jnp.zeros((RWIN, LANES), jnp.int32)
+        step = n_accept // 2
+        while step >= 1:
+            mid = pos + step - 1
+            val = _lookup(rows, mid)
+            pos = jnp.where(val < dim, pos + step, pos)
+            step //= 2
+    # pos <= n_accept - 1 by construction (it accumulates the path bits)
+    hit = _lookup(rows, pos) == dim
 
     # drtuple
     top_s = 4 * k - 2 * outctx
@@ -123,17 +160,19 @@ def _window_compute(c_ref, accept_ref, pfil_ref, *,
         jnp.zeros_like(uni_lo)
     base = ((top << np.uint32(2 * outctx)) | right) << \
         np.uint32(4 * (subk - drlevel))
-    dr = base + pf
 
     keep = (~invalid) & hit
-    return dr, keep
+    return base, pos, keep
 
 
-def _kernel(c_ref, accept_ref, pfil_ref, dr_ref, keep_ref, *,
-            k: int, subk: int, drlevel: int, n_accept: int):
-    dr, keep = _window_compute(c_ref, accept_ref, pfil_ref, k=k,
-                               subk=subk, drlevel=drlevel,
-                               n_accept=n_accept)
+def _kernel(c_ref, accept_ref, pfil_ref, lev_ref, dr_ref, keep_ref, *,
+            k: int, subk: int, drlevel: int, n_accept: int,
+            use_bfs: bool):
+    base, pos, keep = _window_compute(
+        c_ref, accept_ref, pfil_ref, lev_ref if use_bfs else None,
+        k=k, subk=subk, drlevel=drlevel, n_accept=n_accept)
+    prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
+    dr = base + _lookup(prow, pos)
     dr_ref[0] = jnp.where(keep, dr, jnp.uint32(0xFFFFFFFF))
     keep_ref[0] = keep.astype(jnp.int32)
 
@@ -143,8 +182,9 @@ MAXS = CSLOT * LANES  # compacted survivors per block (64K windows)
 SENT = 0xFFFFFFFF
 
 
-def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
-                    k: int, subk: int, drlevel: int, n_accept: int):
+def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, out_ref,
+                    cnt_ref, *, k: int, subk: int, drlevel: int,
+                    n_accept: int, use_bfs: bool, pack: bool):
     """Window kernel + in-VMEM compaction.
 
     Each lane owns RWIN consecutive windows; a log-shift prefix sum over
@@ -155,15 +195,24 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
     where any lane overflows CSLOT slots — or where a real survivor
     collides with the sentinel value — report count MAXS+1 and are
     re-run exactly by the caller through the full-output kernel.
+
+    With ``pack`` (accept-table index fits the drtuple's zero low bits),
+    the per-window pfilter lookup is skipped entirely: survivors compact
+    as base|pos and the pfilter is resolved on the tiny [CSLOT, 128]
+    compacted tile — ~n_accept/128 select rows on 2K values instead of
+    on every window.
     """
     pid = pl.program_id(0)
-    dr, keep = _window_compute(c_ref, accept_ref, pfil_ref, k=k,
-                               subk=subk, drlevel=drlevel,
-                               n_accept=n_accept)
+    base, pos, keep = _window_compute(
+        c_ref, accept_ref, pfil_ref, lev_ref if use_bfs else None,
+        k=k, subk=subk, drlevel=drlevel, n_accept=n_accept)
+    prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
+    if pack:
+        v = base | pos.astype(jnp.uint32)
+    else:
+        v = base + _lookup(prow, pos)
     keepi = keep.astype(jnp.int32)
     total = jnp.sum(keepi)
-    has_sentinel = jnp.sum((keep & (dr == jnp.uint32(SENT)))
-                           .astype(jnp.int32))
 
     # per-lane inclusive prefix count (log-shift along sublanes)
     ps = keepi
@@ -176,7 +225,7 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
     lane_tot = ps[RWIN - 1:RWIN, :]            # [1, 128]
     overflow = jnp.max(lane_tot) > CSLOT
 
-    drv = jax.lax.bitcast_convert_type(dr, jnp.int32)
+    drv = jax.lax.bitcast_convert_type(v, jnp.int32)
     rows = []
     for j in range(CSLOT):
         sel = keep & (slot == j)
@@ -184,31 +233,44 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, out_ref, cnt_ref, *,
                             keepdims=True))
     vals = jax.lax.bitcast_convert_type(
         jnp.concatenate(rows, axis=0), jnp.uint32)      # [CSLOT, 128]
+    if pack:
+        # resolve pfilter on the compacted tile: dr = base + pfilters[idx]
+        # (no carry: pfilters < n_accept <= 2^(4*(subk-drlevel)))
+        mask = np.uint32((1 << (4 * (subk - drlevel))) - 1)
+        idx = (vals & mask).astype(jnp.int32)
+        vals = (vals & ~mask) + _lookup(prow, idx)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (CSLOT, LANES), 0)
-    out_ref[0] = jnp.where(
-        j_idx < jnp.broadcast_to(lane_tot, (CSLOT, LANES)),
-        vals, jnp.uint32(SENT))
+    valid = j_idx < jnp.broadcast_to(lane_tot, (CSLOT, LANES))
+    # a real survivor whose final drtuple equals the pad sentinel would
+    # be indistinguishable from padding: force the exact-rerun path
+    has_sentinel = jnp.sum((valid & (vals == jnp.uint32(SENT)))
+                           .astype(jnp.int32))
+    out_ref[0] = jnp.where(valid, vals, jnp.uint32(SENT))
     cnt_ref[pid] = jnp.where((has_sentinel > 0) | overflow,
                              jnp.int32(MAXS + 1), total)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "subk", "drlevel", "nblocks",
-                                    "n_accept", "interpret"))
-def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, *, k, subk,
-                                drlevel, nblocks, n_accept,
+                                    "n_accept", "use_bfs", "pack",
+                                    "interpret"))
+def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d, *, k,
+                                subk, drlevel, nblocks, n_accept,
+                                use_bfs=False, pack=False,
                                 interpret=False):
     """tiles -> (survivors [nblocks, MAXS//LANES, LANES], counts [nblocks])."""
     TL = 2 * k
     ext = _ext(TL)
     kern = functools.partial(_compact_kernel, k=k, subk=subk,
-                             drlevel=drlevel, n_accept=n_accept)
+                             drlevel=drlevel, n_accept=n_accept,
+                             use_bfs=use_bfs, pack=pack)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((1, RWIN + ext, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -224,25 +286,27 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, *, k, subk,
             jax.ShapeDtypeStruct((nblocks,), jnp.int32),
         ],
         interpret=interpret,
-    )(tiles, accept2d, pfil2d)
+    )(tiles, accept2d, pfil2d, lev2d)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "subk", "drlevel", "nblocks",
-                                    "n_accept", "interpret"))
-def sketch_tiles_pallas(tiles, accept2d, pfil2d, *, k, subk, drlevel,
-                        nblocks, n_accept, interpret=False):
+                                    "n_accept", "use_bfs", "interpret"))
+def sketch_tiles_pallas(tiles, accept2d, pfil2d, lev2d, *, k, subk,
+                        drlevel, nblocks, n_accept, use_bfs=False,
+                        interpret=False):
     """tiles int32[nblocks, RWIN+ext, 128] -> (dr, keep) per window."""
     TL = 2 * k
     ext = _ext(TL)
     kern = functools.partial(_kernel, k=k, subk=subk, drlevel=drlevel,
-                             n_accept=n_accept)
+                             n_accept=n_accept, use_bfs=use_bfs)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((1, RWIN + ext, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -257,7 +321,7 @@ def sketch_tiles_pallas(tiles, accept2d, pfil2d, *, k, subk, drlevel,
             jax.ShapeDtypeStruct((nblocks, RWIN, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(tiles, accept2d, pfil2d)
+    )(tiles, accept2d, pfil2d, lev2d)
 
 
 @functools.partial(jax.jit, static_argnames=("nblocks", "TL"))
@@ -369,6 +433,14 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
 
     a2d = jnp.asarray(a_tups.reshape(-1, LANES))
     p2d = jnp.asarray(a_pf.reshape(-1, LANES))
+    # BFS splitter levels need a power-of-two table; the packed-index
+    # compaction additionally needs the index to fit the drtuple's zero
+    # low bits (true for every 16^(subk-drlevel) >= 4096 config)
+    use_bfs = (n_accept & (n_accept - 1)) == 0
+    pack = use_bfs and (n_accept.bit_length() - 1) <= 4 * (p.subk -
+                                                           p.drlevel)
+    lev2d = jnp.asarray(_bfs_levels(a_tups) if use_bfs
+                        else np.zeros((1, LANES), np.uint32))
     ext = _ext(TL)
     BW = RWIN * LANES
     nwin_total = max(codes.size - TL + 1, 0)
@@ -379,35 +451,14 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     for nb in plan[:-1]:
         starts.append(starts[-1] + nb * BW)
 
-    # phase A: queue every chunk's transfer + kernel without a single
-    # host sync, so h2d of chunk i+1 overlaps chunk i's compute
-    pending = []
-    for start, nblocks in zip(starts, plan):
-        nw_real = min(nblocks * BW, max(nwin_total - start, 0))
-        need = nblocks * BW + RWIN + ext
-        buf = np.full(need, 255, np.uint8)
-        seg = codes[start:start + nw_real + TL - 1]
-        buf[:seg.size] = seg
-        packed, vmask = pack_codes(buf)
-        tiles = _restructure_packed(jnp.asarray(packed),
-                                    jnp.asarray(vmask),
-                                    nblocks=nblocks, TL=TL, n=need)
-        kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
-                  n_accept=n_accept, interpret=interpret)
-        if compact:
-            surv, counts = sketch_tiles_compact_pallas(tiles, a2d, p2d,
-                                                       **kw)
-            # device-side sort pushes pad sentinels to the back so the
-            # host reads back only the exact survivor prefix (~2% of
-            # the tile) instead of the whole thing
-            flat = _sort_flat(surv)
-            pending.append((tiles, kw, surv, counts, flat))
-        else:
-            pending.append((tiles, kw, None, None, None))
+    # Pipelined dispatch: queue chunk transfers + kernels without host
+    # syncs so h2d of chunk i+1 overlaps chunk i's compute, but bound the
+    # number of in-flight chunks — each chunk's tiles are ~130 MB of HBM
+    # and must be dropped as soon as its counts come back clean.
+    DEPTH = 2
 
-    # phase B: resolve counts, read back survivor prefixes / rerun
-    # overflowing chunks exactly
-    for tiles, kw, surv, counts, flat in pending:
+    def _resolve(entry):
+        tiles, kw, surv, counts, flat = entry
         nblocks = kw["nblocks"]
         if counts is not None:
             counts = np.asarray(counts).reshape(-1)
@@ -415,19 +466,63 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
             if not bad:
                 total = int(counts.sum())
                 if total:
-                    parts.append(np.asarray(flat[:total]))
-                continue
+                    # read back a power-of-two-bucketed prefix: a slice
+                    # sized by the exact data-dependent count would
+                    # compile a fresh XLA slice per run
+                    take = min(1 << max(total - 1, 1).bit_length(),
+                               flat.size)
+                    parts.append(np.asarray(flat[:take])[:total])
+                return
             # mixed chunk: salvage good blocks from the unsorted tile,
             # rerun bad ones through the exact full-output kernel
             surv = np.asarray(surv).reshape(nblocks, -1)
-            parts += [surv[b][surv[b] != np.uint32(SENT)]
-                      for b in range(nblocks) if counts[b] <= MAXS]
+            parts.extend(surv[b][surv[b] != np.uint32(SENT)]
+                         for b in range(nblocks) if counts[b] <= MAXS)
         else:
             bad = list(range(nblocks))
-        dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, **kw)
+        dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, lev2d, **kw)
         dr = np.asarray(dr)
         keep = np.asarray(keep).astype(bool)
-        parts += [dr[b][keep[b]] for b in bad]
+        parts.extend(dr[b][keep[b]] for b in bad)
+
+    from metakssd_tpu.io import native as native_io
+
+    pending = []
+    for start, nblocks in zip(starts, plan):
+        nw_real = min(nblocks * BW, max(nwin_total - start, 0))
+        need = nblocks * BW + RWIN + ext
+        # one-pass native 2-bit pack straight from the code stream (no
+        # intermediate host copy); positions past the stream (and the
+        # strip slack no window reads) pack as invalid, matching the
+        # 255-padded host fallback
+        pk = native_io.pack_range(codes, start, need)
+        if pk is None:
+            buf = np.full(need, 255, np.uint8)
+            seg = codes[start:start + nw_real + TL - 1]
+            buf[:seg.size] = seg
+            pk = pack_codes(buf)
+        packed, vmask = pk
+        tiles = _restructure_packed(jnp.asarray(packed),
+                                    jnp.asarray(vmask),
+                                    nblocks=nblocks, TL=TL, n=need)
+        kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
+                  n_accept=n_accept, use_bfs=use_bfs,
+                  interpret=interpret)
+        if compact:
+            surv, counts = sketch_tiles_compact_pallas(
+                tiles, a2d, p2d, lev2d, pack=pack, **kw)
+            # device-side sort pushes pad sentinels to the back so the
+            # host reads back only the exact survivor prefix (~2% of
+            # the tile) instead of the whole thing
+            flat = _sort_flat(surv)
+            pending.append((tiles, kw, surv, counts, flat))
+        else:
+            pending.append((tiles, kw, None, None, None))
+        while len(pending) > DEPTH:
+            _resolve(pending.pop(0))
+
+    while pending:
+        _resolve(pending.pop(0))
 
     out = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
     out.sort()

@@ -292,6 +292,27 @@ def _pallas_usable(shuf, accept) -> bool:
     return _PALLAS_STATE["ok"]
 
 
+def _backend_policy() -> str:
+    """MKSSD_BACKEND = auto (default) | tpu | cpu.
+
+    'auto' keeps sketching on the native host engine when the only TPU
+    is tunnel-attached (platform 'axon'): the host<->device link there
+    runs ~35 MB/s, which caps any device path below the native OpenMP
+    sketcher; a colocated TPU (platform 'tpu') takes the device path.
+    """
+    import os
+    mode = os.environ.get("MKSSD_BACKEND", "auto")
+    if mode in ("tpu", "cpu"):
+        return mode
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    # 'axon' = remote tunnel; anything else (real tpu, or XLA-on-CPU in
+    # tests) keeps the device path
+    return "cpu" if platform == "axon" else "tpu"
+
+
 def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
                  accept: tuple[np.ndarray, np.ndarray] | None = None,
                  stream_order: bool = False) -> np.ndarray:
@@ -308,6 +329,13 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
         if stream_order:
             raise NotImplementedError("stream_order host fallback")
         return np.sort(dr)
+
+    if not stream_order and _backend_policy() == "cpu":
+        from metakssd_tpu.io import native as native_io
+        dr = native_io.sketch_cpu(codes, shuf, accept=accept)
+        if dr is not None:
+            dr.sort()
+            return dr
 
     if accept is None:
         accept = shuf.device_tables()

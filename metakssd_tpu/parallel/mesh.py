@@ -135,12 +135,15 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
     out = np.zeros((qry.stat.infile_num, num_refs), dtype=np.uint32)
 
     def step(post_k, post_g, qids):
-        pos = jnp.searchsorted(qids[0], post_k[0], side="left")
-        pos = jnp.minimum(pos, qids.shape[1] - 1)
-        hit = (qids[0][pos] == post_k[0]) & (post_g[0] >= 0)
+        # Weight each posting by the query k-mer's multiplicity (per-read
+        # fastq sketches carry duplicates; the serial path walks posting
+        # rows once per query occurrence, command_dist.c:1044-1049).
+        lo = jnp.searchsorted(qids[0], post_k[0], side="left")
+        hi = jnp.searchsorted(qids[0], post_k[0], side="right")
+        mult = (hi - lo).astype(jnp.uint32)
+        mult = jnp.where(post_g[0] >= 0, mult, np.uint32(0))
         partial = jax.ops.segment_sum(
-            hit.astype(jnp.uint32),
-            jnp.maximum(post_g[0], 0), num_segments=num_refs)
+            mult, jnp.maximum(post_g[0], 0), num_segments=num_refs)
         return jax.lax.psum(partial, ("db",))[None]
 
     from jax import shard_map

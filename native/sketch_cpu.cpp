@@ -1,0 +1,135 @@
+// sketch_cpu — host-side KSSD window decomposition for CPU fallback and
+// host-parallel pre-filtering.
+//
+// Same semantics as the device kernels (metakssd_tpu/ops/golden.py, the
+// bit-exact model of reference iseq2comem.c:240-311) but engineered for
+// CPU caches instead of the reference's design: the shuffle filter is a
+// 16^subk-bit *bitmask* (2 MiB at subk=6 — L2-resident) probed once per
+// window, and the reduced code (pfilter) is resolved by binary search in
+// the tiny sorted accept table only for survivors (~1/4096 windows).
+// The reference instead walks a 64 MiB int table (DRAM-latency per
+// window) and inserts into an open-addressing hash; we emit a flat
+// drtuple vector and let the caller sort/unique.
+//
+// OpenMP parallelises over stream chunks with a TL-1 overlap so every
+// window is evaluated exactly once.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+struct SketchCfg {
+    int k, subk, drlevel;
+    const uint32_t* accept_tups;   // sorted, n_accept entries
+    const uint32_t* pfilters;      // aligned with accept_tups
+    int64_t n_accept;
+    const uint32_t* bitmask;       // 16^subk bits
+};
+
+// lower_bound over the accept table (branch-free-ish; n_accept is small
+// and cache-hot).
+static inline int64_t lower_bound_u32(const uint32_t* a, int64_t n,
+                                      uint32_t v) {
+    int64_t lo = 0;
+    while (n > 1) {
+        int64_t half = n / 2;
+        lo += (a[lo + half - 1] < v) ? half : 0;
+        n -= half;
+    }
+    return lo;
+}
+
+// Sketch one chunk [start, end) of the code stream; windows starting in
+// [start, end) are emitted (the chunk may read up to TL-1 codes past
+// end).  Appends accepted drtuples to out.
+static void sketch_chunk(const uint8_t* codes, int64_t size, int64_t start,
+                         int64_t end, const SketchCfg& c,
+                         std::vector<uint64_t>& out) {
+    const int TL = 2 * c.k;
+    const int outctx = c.k - c.subk;
+    const uint64_t tl_mask =
+        (TL == 32) ? ~0ULL : ((1ULL << (2 * TL)) - 1);
+    const uint32_t dim_mask = (1u << (4 * c.subk)) - 1;
+    const uint64_t outer_mask = (1ULL << (2 * outctx)) - 1;
+    const uint64_t undomask =
+        ((1ULL << (2 * outctx)) - 1) << (2 * outctx + 4 * c.subk);
+    const int rc_shift = 2 * (TL - 1);
+
+    uint64_t fwd = 0, rc = 0;
+    int vlen = 0;
+    int64_t stop = end + TL - 1 < size ? end + TL - 1 : size;
+    for (int64_t i = start; i < stop; i++) {
+        uint8_t b = codes[i];
+        if (b > 3) { vlen = 0; continue; }
+        fwd = ((fwd << 2) | b) & tl_mask;
+        rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+        if (++vlen < TL) continue;
+        if (i - (TL - 1) >= end) break;   // window belongs to next chunk
+        uint64_t uni = fwd < rc ? fwd : rc;
+        uint32_t dim = (uint32_t)(uni >> (2 * outctx)) & dim_mask;
+        if (!((c.bitmask[dim >> 5] >> (dim & 31)) & 1)) continue;
+        int64_t pos = lower_bound_u32(c.accept_tups, c.n_accept, dim);
+        uint64_t dr = (((uni & undomask)
+                        + ((uni & outer_mask) << (4 * c.k - 4 * outctx)))
+                       >> (4 * c.drlevel))
+                      + c.pfilters[pos];
+        out.push_back(dr);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of accepted drtuples written to *out_ptr (malloc'd;
+// caller frees with sketch_cpu_free).  nthreads <= 0 = OpenMP default.
+int64_t sketch_cpu_run(const uint8_t* codes, int64_t size, int k, int subk,
+                       int drlevel, const uint32_t* accept_tups,
+                       const uint32_t* pfilters, int64_t n_accept,
+                       const uint32_t* bitmask, int nthreads,
+                       uint64_t** out_ptr) {
+    SketchCfg cfg{k, subk, drlevel, accept_tups, pfilters, n_accept,
+                  bitmask};
+    const int TL = 2 * k;
+    if (size < TL) { *out_ptr = nullptr; return 0; }
+
+    int nt = 1;
+#ifdef _OPENMP
+    nt = nthreads > 0 ? nthreads : omp_get_max_threads();
+#endif
+    const int64_t nwin = size - TL + 1;
+    const int64_t chunk = (nwin + nt - 1) / nt;
+    std::vector<std::vector<uint64_t>> parts(nt);
+
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+#endif
+    for (int t = 0; t < nt; t++) {
+        int64_t s = (int64_t)t * chunk;
+        int64_t e = s + chunk < nwin ? s + chunk : nwin;
+        if (s < e)
+            sketch_chunk(codes, size, s, e, cfg, parts[t]);
+    }
+
+    int64_t total = 0;
+    for (auto& p : parts) total += (int64_t)p.size();
+    uint64_t* out = (uint64_t*)malloc(sizeof(uint64_t) * (total ? total : 1));
+    int64_t off = 0;
+    for (auto& p : parts) {
+        memcpy(out + off, p.data(), p.size() * sizeof(uint64_t));
+        off += (int64_t)p.size();
+    }
+    *out_ptr = out;
+    return total;
+}
+
+void sketch_cpu_free(uint64_t* p) { free(p); }
+
+}  // extern "C"

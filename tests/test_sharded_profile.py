@@ -38,3 +38,18 @@ def test_sharded_counts_match_serial(tmp_path):
     sharded = pmesh.sharded_shared_counts(co_ref, co_qry, m)
     np.testing.assert_array_equal(serial, sharded)
     assert serial.max() > 0
+
+    # per-read fastq sketches carry duplicate k-mers; both paths must
+    # count once per query *occurrence* (reference command_dist.c:1044-1049)
+    from metakssd_tpu.formats.codir import CoDir, write_codir
+    qcd = CoDir.read(co_qry, want_abund=False)
+    dup = [[(np.sort(np.concatenate([qcd.genome_ids(c, g),
+                                     qcd.genome_ids(c, g)[::3]])), None)
+            for c in range(qcd.stat.comp_num)]
+           for g in range(qcd.stat.infile_num)]
+    co_dup = str(tmp_path / "co_dup")
+    write_codir(co_dup, qcd.stat, dup)
+    serial_d = dist.shared_kmer_matrix(co_ref, co_dup, use_device=False)
+    sharded_d = pmesh.sharded_shared_counts(co_ref, co_dup, m)
+    np.testing.assert_array_equal(serial_d, sharded_d)
+    assert (serial_d != serial).any()
