@@ -267,24 +267,27 @@ def index_abv(refdir: str, abv_dir: str | None = None,
     names = file_order or sorted(
         f for f in os.listdir(adir) if f.endswith(".abv"))
     nspecies = ref_stat.infile_num
-    per_species: list[list[tuple[int, float]]] = [[] for _ in range(nspecies)]
     y_l2n = np.zeros(len(names))
+    cat_idx, cat_pct, cat_si = [], [], []
     for si, fname in enumerate(names):
         idxs, pcts = read_abv_file(os.path.join(adir, fname))
         # sequential (not pairwise) double accumulation, matching the
         # reference's per-record loop (command_composite.c:393-395)
         sq = (pcts.astype(np.float64) ** 2)
         y_l2n[si] = math.sqrt(float(sq.cumsum()[-1]) if sq.size else 0.0)
-        for d, p in zip(idxs.tolist(), pcts.tolist()):
-            per_species[d].append((si, p))
-    counts = np.array([len(p) for p in per_species], dtype=np.int32)
-    flat_idx = np.array([si for sp in per_species for si, _ in sp],
-                        dtype=np.int32)
-    flat_pct = np.array([p for sp in per_species for _, p in sp],
-                        dtype=np.float32)
+        cat_idx.append(idxs.astype(np.int64))
+        cat_pct.append(pcts.astype(np.float32))
+        cat_si.append(np.full(idxs.size, si, dtype=np.int32))
+    cat_idx = np.concatenate(cat_idx) if cat_idx else np.zeros(0, np.int64)
+    cat_pct = np.concatenate(cat_pct) if cat_pct else np.zeros(0, np.float32)
+    cat_si = np.concatenate(cat_si) if cat_si else np.zeros(0, np.int32)
+    # stable sort by species dim keeps file order within each posting
+    # list — the reference's append order (command_composite.c:393-401)
+    order = np.argsort(cat_idx, kind="stable")
+    counts = np.bincount(cat_idx, minlength=nspecies).astype(np.int32)
     index = AbvIndex(names=names, y_l2n=y_l2n,
                      abmi=np.cumsum(counts).astype(np.int32),
-                     abm_idx=flat_idx, abm_pct=flat_pct)
+                     abm_idx=cat_si[order], abm_pct=cat_pct[order])
     index.write(refdir)
     return index
 
@@ -311,34 +314,45 @@ def abv_search(refdir: str, queries: list[str], mode: int = 0,
         measure = np.full(nsamples, np.float32(-2.0), dtype=np.float32)
         xsum = np.zeros(nsamples, dtype=np.float32)
         ysum = np.zeros(nsamples, dtype=np.float32)
-        seen_order: list[int] = []
-        seen = np.zeros(nsamples, dtype=bool)
+        # vectorised posting-list walk: expand every (query dim ->
+        # posting) pair; np.add.at accumulates in input (= query-dim)
+        # order in float32, bit-identical to the reference's loop
+        qpct32 = qpct.astype(np.float32)
         xl2n = np.float32(0.0)
-        for d, x in zip(qidx.tolist(), qpct.tolist()):
-            x = np.float32(x)
-            xl2n += x * x
-            lo, hi = int(starts[d]), int(starts[d + 1])
-            sids = idx.abm_idx[lo:hi]
-            ys = idx.abm_pct[lo:hi]
-            new = ~seen[sids]
-            if new.any():
-                measure[sids[new]] = 0.0
-                for s in sids[new].tolist():
-                    seen_order.append(s)
-                seen[sids[new]] = True
-            if mode == 1:
-                measure[sids] += np.float32(np.abs(ys.astype(np.float64)
-                                                   - float(x))).astype(np.float32)
-                xsum[sids] += x
-                ysum[sids] += ys
-            elif mode == 2:
-                measure[sids] += (ys - x) * (ys - x)
-            else:
-                measure[sids] += ys * x
-        ids = np.array(seen_order, dtype=np.int64)
+        for x in qpct32.tolist():          # sequential f32 accumulation
+            xl2n += np.float32(x) * np.float32(x)
+        lo = starts[qidx]
+        hi = starts[qidx.astype(np.int64) + 1]
+        lens = hi - lo
+        total = int(lens.sum())
+        bnd = np.zeros(qidx.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=bnd[1:])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(bnd, lens) + np.repeat(lo, lens))
+        sids_all = idx.abm_idx[pos].astype(np.int64)
+        ys_all = idx.abm_pct[pos]
+        xs_all = np.repeat(qpct32, lens)
+        # first-appearance order (the reference reports samples in the
+        # order they are first touched)
+        uniq, first = np.unique(sids_all, return_index=True)
+        ids = uniq[np.argsort(first, kind="stable")].astype(np.int64)
+        measure[uniq] = 0.0
+        if mode == 1:
+            np.add.at(measure, sids_all,
+                      np.abs(ys_all.astype(np.float64)
+                             - xs_all.astype(np.float64)).astype(np.float32))
+            np.add.at(xsum, sids_all, xs_all)
+            np.add.at(ysum, sids_all, ys_all)
+        elif mode == 2:
+            np.add.at(measure, sids_all, (ys_all - xs_all) ** 2)
+        else:
+            np.add.at(measure, sids_all, ys_all * xs_all)
         if mode == 0:
-            measure[ids] = measure[ids] / np.float32(
-                math.sqrt(float(xl2n))) / idx.y_l2n[ids].astype(np.float32)
+            # double-precision normalisation, then one rounding to f32
+            # (reference: measure / (sqrt(xl2n) * y_l2n), y_l2n double)
+            measure[ids] = (measure[ids].astype(np.float64)
+                            / (math.sqrt(float(xl2n))
+                               * idx.y_l2n[ids])).astype(np.float32)
         out.write("#Sample\t")
         if mode == 1:
             measure[ids] += (np.float32(200.0) - xsum[ids] - ysum[ids])
