@@ -43,7 +43,8 @@ def _cmd_dist(args) -> int:
     opts = pipeline.SketchOptions(
         abundance=args.abundance, dedup=args.dedup,
         min_occ=args.LstKmerOcrs, min_qual=args.quality,
-        byread=args.byread, pipecmd=args.pipecmd)
+        byread=args.byread, pipecmd=args.pipecmd,
+        threads=args.threadN, keepcofile=args.keepcofile)
 
     def has(d, f):
         return os.path.isdir(d) and os.path.exists(os.path.join(d, f))
@@ -91,7 +92,8 @@ def _cmd_dist(args) -> int:
                 sys.exit("query must be a sketch dir (run dist -L ... "
                          "<seqs> first)")
             dist.run_dist_search(ref, queries[0], outdir, dopts,
-                                 shard_db=args.shard_db)
+                                 shard_db=args.shard_db,
+                                 max_mem_gb=args.maxMemory)
         return 0
 
     # no -r: sketching only
@@ -143,9 +145,10 @@ def _cmd_set(args) -> int:
 def _cmd_composite(args) -> int:
     from metakssd_tpu import composite
     if args.ref and args.query:
+        kw = {} if args.min_km_s is None else {"min_km_s": args.min_km_s}
         composite.get_species_abundance(
             args.ref, args.query, outdir=args.outfile,
-            binvec=args.binVec)
+            binvec=args.binVec, **kw)
     elif args.ref and args.idxbv:
         composite.index_abv(args.ref)
     elif args.ref and args.search is not None:
@@ -235,6 +238,11 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("-i", "--idxbv", action="store_true")
     co.add_argument("-s", "--search", type=int, default=None)
     co.add_argument("-d", "--readabv", action="store_true")
+    co.add_argument("--min-km-s", type=int, dest="min_km_s",
+                    default=None,
+                    help="min shared k-mers to report a species "
+                         "(reference MIN_KM_S macro: 6 default, 1 in "
+                         "the 16S build)")
     co.add_argument("rest", nargs="*")
     co.set_defaults(func=_cmd_composite)
 
@@ -263,6 +271,27 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--shkm-thr", type=float, default=18)
     ca.add_argument("--low-thr", type=float, default=1)
     ca.set_defaults(func=_cmd_pp_cami)
+    kr = pps.add_parser("krona", help="psid_species -> Krona taxonomy")
+    kr.add_argument("psid_species_tsv")
+    kr.add_argument("gtdb_taxonomy_tsv")
+    kr.set_defaults(func=_cmd_pp_krona)
+    am = pps.add_parser("abv-metadata",
+                        help="join abv-search output with run metadata")
+    am.add_argument("abv_out_tsv")
+    am.add_argument("metadata_csv")
+    am.set_defaults(func=_cmd_pp_abvmeta)
+    cs = pps.add_parser("csv-subset",
+                        help="rows of a csv whose id is in a selection "
+                             "list (csv order)")
+    cs.add_argument("csv")
+    cs.add_argument("selection_tsv")
+    cs.set_defaults(func=_cmd_pp_csv_subset)
+    ocs = pps.add_parser("ordcsv-subset",
+                         help="csv rows in selection order; ==no match== "
+                              "for absent ids")
+    ocs.add_argument("csv")
+    ocs.add_argument("selection_tsv")
+    ocs.set_defaults(func=_cmd_pp_ordcsv_subset)
     return ap
 
 
@@ -314,6 +343,34 @@ def _cmd_pp_cami(args) -> int:
         cami.composite_to_cami_profile(
             f, cami.load_psid_map(args.psid2ncbi_tsv), n2r, n2p, n2n,
             shkm_thr=args.shkm_thr, low_thr=args.low_thr)
+    return 0
+
+
+def _cmd_pp_krona(args) -> int:
+    from metakssd_tpu.postprocess import cami
+    with open(args.psid_species_tsv) as a, open(args.gtdb_taxonomy_tsv) as b:
+        cami.krona_taxonomy(a, list(b))
+    return 0
+
+
+def _cmd_pp_abvmeta(args) -> int:
+    from metakssd_tpu.postprocess import cami
+    with open(args.abv_out_tsv) as a, open(args.metadata_csv) as b:
+        cami.abv_match_metadata(a, b)
+    return 0
+
+
+def _cmd_pp_csv_subset(args) -> int:
+    from metakssd_tpu.postprocess import csvutil
+    with open(args.csv) as c, open(args.selection_tsv) as s:
+        csvutil.csv_table_subset(c, s)
+    return 0
+
+
+def _cmd_pp_ordcsv_subset(args) -> int:
+    from metakssd_tpu.postprocess import csvutil
+    with open(args.csv) as c, open(args.selection_tsv) as s:
+        csvutil.ordcsv_table_subset(c, s)
     return 0
 
 

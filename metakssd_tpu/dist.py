@@ -34,8 +34,14 @@ ALP_SIZE = 4  # DNA (reference command_dist.c:554)
 # shared-k-mer counting
 # --------------------------------------------------------------------------
 
+# cap on expanded postings per reduction chunk (~128 MB of int64
+# scratch); bounds host memory for mco rows with huge posting lists
+_EXPAND_CHUNK = 16 << 20
+
+
 def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
-                       use_device: bool = True) -> np.ndarray:
+                       use_device: bool = True,
+                       out: np.ndarray | None = None) -> np.ndarray:
     """uint32[qry_num, ref_num] shared-k-mer counts.
 
     ``ref`` may be a sketch dir (native path) or an mco dir written by
@@ -43,6 +49,11 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
     k-mers in each query sketch runs through the merge-path kernel
     (ops.merge) — the Pallas windowed search on TPU, vectorised
     searchsorted elsewhere — followed by a posting-count reduction.
+
+    ``out``: preallocated (possibly memory-mapped) result matrix; with a
+    np.memmap this is the reference's out-of-core sharedk_ct.dat
+    batching (command_dist.c:948-1000) with the OS paging instead of
+    explicit -m batches.
     """
     from metakssd_tpu.ops import merge as merge_ops
     if isinstance(qry, str):
@@ -64,7 +75,8 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
         _check_compat(ref.stat.shuf_id, ref.stat.comp_num, qry.stat)
 
     qnum = qry.stat.infile_num
-    out = np.zeros((qnum, num_refs), dtype=np.uint32)
+    if out is None:
+        out = np.zeros((qnum, num_refs), dtype=np.uint32)
     use_pallas = None if use_device else False
     for c in range(comp_num):
         inv = get_inv(c)
@@ -83,17 +95,30 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
             member, pos = merge_ops.sorted_membership(
                 hay, None, qids, use_pallas=use_pallas)
             rows = pos[member].astype(np.int64)
-            starts, ends = offs[rows], offs[rows + 1]
-            lens = ends - starts
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            bnd = np.zeros(rows.size, dtype=np.int64)
-            np.cumsum(lens[:-1], out=bnd[1:])
-            flat = (np.arange(total, dtype=np.int64)
-                    - np.repeat(bnd, lens) + np.repeat(starts, lens))
-            out[q] += np.bincount(inv.gids[flat],
-                                  minlength=num_refs).astype(np.uint32)
+            acc = np.zeros(num_refs, dtype=np.uint32)
+            # chunk the posting expansion so scratch stays bounded even
+            # for mco rows with hundreds of millions of postings
+            lo = 0
+            while lo < rows.size:
+                hi = lo
+                budget = _EXPAND_CHUNK
+                while hi < rows.size and budget > 0:
+                    budget -= int(offs[rows[hi] + 1] - offs[rows[hi]])
+                    hi += 1
+                rch = rows[lo:hi]
+                starts, ends = offs[rch], offs[rch + 1]
+                lens = ends - starts
+                total = int(lens.sum())
+                lo = hi
+                if total == 0:
+                    continue
+                bnd = np.zeros(rch.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=bnd[1:])
+                flat = (np.arange(total, dtype=np.int64)
+                        - np.repeat(bnd, lens) + np.repeat(starts, lens))
+                acc += np.bincount(inv.gids[flat],
+                                   minlength=num_refs).astype(np.uint32)
+            out[q] += acc
     return out
 
 
@@ -240,12 +265,16 @@ def load_sharedk(path: str, qry_num: int, ref_num: int) -> np.ndarray:
 
 def run_dist_search(ref_path: str, qry_path: str, outdir: str,
                     opts: DistOptions | None = None,
-                    use_device: bool = True, shard_db: int = 0) -> str:
+                    use_device: bool = True, shard_db: int = 0,
+                    max_mem_gb: float = 0) -> str:
     """Full search pipeline: counts + stats + distance.out
     (reference mco_cbdco_nobin_dist + dist_print_nobin).
 
     shard_db > 1 shards the reference postings over that many devices
     (db mesh axis) — for reference databases larger than one HBM.
+    max_mem_gb > 0 bounds host RAM: a qry x ref matrix larger than that
+    is accumulated directly into the memory-mapped sharedk_ct.dat
+    (the reference's -m batching, command_dist.c:948-1000).
     """
     opts = opts or DistOptions()
     qry = CoDir.read(qry_path, want_abund=False)
@@ -264,10 +293,24 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
             from metakssd_tpu.parallel import mesh as pmesh
             m = pmesh.make_mesh(n_data=1, n_db=shard_db)
             matrix = pmesh.sharded_shared_counts(ref_path, qry, m)
+            skf = save_sharedk(matrix, outdir)
         else:
-            matrix = shared_kmer_matrix(ref_path, qry,
-                                        use_device=use_device)
-        skf = save_sharedk(matrix, outdir)
+            qnum, rnum = qry.stat.infile_num, len(ref_names)
+            mat_bytes = 4 * qnum * rnum
+            os.makedirs(outdir, exist_ok=True)
+            skf = os.path.join(outdir, "sharedk_ct.dat")
+            if max_mem_gb > 0 and mat_bytes > max_mem_gb * (1 << 30):
+                matrix = np.memmap(skf, dtype=np.uint32, mode="w+",
+                                   shape=(qnum, rnum))
+                matrix[:] = 0
+            else:
+                matrix = np.zeros((qnum, rnum), dtype=np.uint32)
+            shared_kmer_matrix(ref_path, qry, use_device=use_device,
+                               out=matrix)
+            if isinstance(matrix, np.memmap):
+                matrix.flush()
+            else:
+                save_sharedk(matrix, outdir)
     path = write_distance_out(
         matrix, ref_names, qry.stat.names, ref_ctx, qry.stat.ctx_ct,
         qry.stat.kmerlen, qry.stat.dim_rd_len, outdir, opts)

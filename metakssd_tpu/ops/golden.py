@@ -20,17 +20,20 @@ from metakssd_tpu.params import SketchParams
 from metakssd_tpu.formats.shuf import DimShuffle
 
 
-def window_drtuples(codes: np.ndarray, shuf: DimShuffle) -> np.ndarray:
+def window_drtuples(codes: np.ndarray, shuf: DimShuffle,
+                    return_positions: bool = False) -> np.ndarray:
     """All accepted drtuples in stream order (duplicates preserved).
 
     codes: uint8 stream (0-3 base codes, >=4 reset).
-    Returns uint64 drtuples.
+    Returns uint64 drtuples (with ``return_positions``, also the window
+    start position of each).
     """
     p = shuf.params
     TL = p.kmer_len
     n = codes.size
     if n < TL:
-        return np.zeros(0, dtype=np.uint64)
+        empty = np.zeros(0, dtype=np.uint64)
+        return (empty, np.zeros(0, np.int64)) if return_positions else empty
     c = codes.astype(np.uint64)
     valid = codes < 4
     c = np.where(valid, c, 0)
@@ -59,6 +62,8 @@ def window_drtuples(codes: np.ndarray, shuf: DimShuffle) -> np.ndarray:
             + ((uni & outer_mask) << np.uint64(4 * p.k - 4 * p.outctx)))
            >> np.uint64(4 * p.drlevel))
           + pf)
+    if return_positions:
+        return dr, np.nonzero(keep)[0].astype(np.int64)
     return dr
 
 

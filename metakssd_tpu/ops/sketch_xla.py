@@ -325,10 +325,11 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
     p = shuf.params
     if p.k - p.drlevel > 8:
         from metakssd_tpu.ops import golden
-        dr = golden.window_drtuples(codes, shuf)
         if stream_order:
-            raise NotImplementedError("stream_order host fallback")
-        return np.sort(dr)
+            dr, pos = golden.window_drtuples(codes, shuf,
+                                             return_positions=True)
+            return pos, dr
+        return np.sort(golden.window_drtuples(codes, shuf))
 
     if not stream_order and _backend_policy() == "cpu":
         from metakssd_tpu.io import native as native_io

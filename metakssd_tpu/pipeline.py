@@ -32,6 +32,8 @@ class SketchOptions:
     min_qual: int = 0          # -Q  (fastq base-quality filter)
     byread: bool = False       # --byread (per-read sketching)
     pipecmd: str = ""          # -P  (decompress/filter command -> fastq)
+    threads: int = 0           # -p  (host parse pool; 0 = cpu count)
+    keepcofile: bool = False   # --keepcofile (per-file .co intermediates)
 
 
 def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]:
@@ -122,14 +124,28 @@ def _batched_stage1(inputs: list[str], shuf: DimShuffle,
     pass instead of one dispatch per file."""
     from metakssd_tpu.ops.sketch_xla import sketch_codes_with_positions
     p = shuf.params
-    chunks: list[np.ndarray] = []
-    bounds = np.zeros(len(inputs) + 1, dtype=np.int64)
-    for i, path in enumerate(inputs):
+
+    def _parse(path: str) -> np.ndarray:
         if seqio.sniff_format(path) == "fastq":
             q = 0 if opts.abundance else opts.min_qual
-            c = seqio.fastq_to_codes(path, min_qual=q)[0]
-        else:
-            c = seqio.fasta_to_codes(path)
+            return seqio.fastq_to_codes(path, min_qual=q)[0]
+        return seqio.fasta_to_codes(path)
+
+    # host parse pool (-p): the native parser releases the GIL inside
+    # the ctypes call, so threads give real parallelism (the reference
+    # OpenMP-parallelises stage I over files, command_dist.c:365)
+    nthreads = opts.threads if opts.threads > 0 else (os.cpu_count() or 1)
+    nthreads = min(nthreads, len(inputs))
+    if nthreads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nthreads) as pool:
+            parsed = list(pool.map(_parse, inputs))
+    else:
+        parsed = [_parse(path) for path in inputs]
+
+    chunks: list[np.ndarray] = []
+    bounds = np.zeros(len(inputs) + 1, dtype=np.int64)
+    for i, c in enumerate(parsed):
         chunks.append(c)
         chunks.append(np.full(1, 255, dtype=np.uint8))
         bounds[i + 1] = bounds[i] + c.size + 1
@@ -190,6 +206,17 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                   all_ctx_ct=int(ctx_ct.sum()), ctx_ct=ctx_ct,
                   names=list(inputs))
     write_codir(out_dir, stat, per_genome)
+    if opts.keepcofile:
+        # per-file intermediates "{i}.co.{c}" (+ .a), the reference's
+        # --keepcofile artifacts (command_dist.c:438-457)
+        for i, g in enumerate(per_genome):
+            for c in range(p.component_num):
+                ids, ab = g[c]
+                ids.astype(np.uint32).tofile(
+                    os.path.join(out_dir, f"{i}.co.{c}"))
+                if ab is not None:
+                    ab.astype(np.uint16).tofile(
+                        os.path.join(out_dir, f"{i}.co.{c}.a"))
     return stat
 
 

@@ -41,3 +41,99 @@ def test_pipecmd_matches_plain(tmp_path):
     a = CoDir.read(str(tmp_path / "plain"), want_abund=False)
     b = CoDir.read(str(tmp_path / "piped"), want_abund=False)
     np.testing.assert_array_equal(a.genome_ids(0, 0), b.genome_ids(0, 0))
+
+
+def test_keepcofile_and_parse_pool(tmp_path):
+    """--keepcofile writes the reference's {i}.co.{c} intermediates and
+    -p parses in a thread pool without changing the combined output."""
+    import numpy as np
+    from metakssd_tpu import cli
+    from metakssd_tpu.formats.codir import CoDir
+    from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+    from metakssd_tpu.params import SketchParams
+    from tests.util import random_seq, write_fasta
+
+    rng = np.random.default_rng(3)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    for i in range(3):
+        write_fasta(str(gdir / f"g{i}.fa"), [random_seq(rng, 20000)])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=5))
+    out1 = str(tmp_path / "co1")
+    cli.main(["dist", "-L", shufp, "-o", out1, str(gdir)])
+    out2 = str(tmp_path / "co2")
+    cli.main(["dist", "-L", shufp, "-p", "3", "--keepcofile", "-o", out2,
+              str(gdir)])
+    a, b = CoDir.read(out1), CoDir.read(out2)
+    for g in range(3):
+        np.testing.assert_array_equal(a.genome_ids(0, g),
+                                      b.genome_ids(0, g))
+        per_file = np.fromfile(str(tmp_path / "co2" / f"{g}.co.0"),
+                               dtype=np.uint32)
+        np.testing.assert_array_equal(np.sort(per_file),
+                                      np.sort(b.genome_ids(0, g)))
+
+
+def test_byread_wide_config(tmp_path):
+    """--byread on a k-drlevel>8 config uses the golden stream-order
+    fallback (used to raise NotImplementedError)."""
+    import numpy as np
+    from metakssd_tpu import cli
+    from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+    from metakssd_tpu.params import SketchParams
+    from metakssd_tpu.ops import golden
+    from tests.util import random_seq, write_fasta
+
+    rng = np.random.default_rng(9)
+    fa = str(tmp_path / "g.fa")
+    seqs = [random_seq(rng, 4000), random_seq(rng, 3000)]
+    write_fasta(fa, seqs)
+    shufp = str(tmp_path / "w.shuf")
+    shuf = make_shuf(SketchParams(k=12, subk=6, drlevel=2), seed=2)
+    assert shuf.params.k - shuf.params.drlevel > 8
+    write_shuf(shufp, shuf)
+    out = str(tmp_path / "br")
+    cli.main(["dist", "-L", shufp, "--byread", "-o", out, fa])
+    idx = np.fromfile(f"{out}/combco.index.0", dtype=np.uint64)
+    assert idx.size == len(seqs) + 1
+    total = sum(
+        np.fromfile(f"{out}/combco.{c}", dtype=np.uint32).size
+        for c in range(shuf.params.component_num))
+    from metakssd_tpu.io import seqio
+    codes = seqio.fasta_to_codes(fa)
+    assert total == golden.window_drtuples(codes, shuf).size
+
+
+def test_dist_m_memmap_matches(tmp_path):
+    """-m small enough to force the memory-mapped matrix path yields an
+    identical distance.out."""
+    import numpy as np
+    from metakssd_tpu import cli
+    from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+    from metakssd_tpu.params import SketchParams
+    from tests.util import random_seq, write_fasta
+
+    rng = np.random.default_rng(12)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    gs = [random_seq(rng, 30000) for _ in range(3)]
+    for i, g in enumerate(gs):
+        write_fasta(str(gdir / f"g{i}.fa"), [g])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=7))
+    co = str(tmp_path / "co")
+    cli.main(["dist", "-L", shufp, "-o", co, str(gdir)])
+    qco = str(tmp_path / "qco")
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    write_fasta(str(qdir / "q.fa"), [gs[0][:9000]])
+    cli.main(["dist", "-L", shufp, "-o", qco, str(qdir)])
+    d1 = str(tmp_path / "d1")
+    cli.main(["dist", "-r", co, "-o", d1, qco])
+    d2 = str(tmp_path / "d2")
+    cli.main(["dist", "-r", co, "-m", "1e-9", "-o", d2, qco])
+    assert open(f"{d1}/distance.out").read() == \
+        open(f"{d2}/distance.out").read()

@@ -112,3 +112,27 @@ def test_krona_taxonomy_matches_perl(tmp_path):
     buf = io.StringIO()
     cami.krona_taxonomy(psid, tax, out=buf)
     assert buf.getvalue() == ref
+
+
+@needs_perl
+def test_csv_subset_matches_perl(tmp_path):
+    import io
+    from metakssd_tpu.postprocess import csvutil
+    csv = ["id1,a,b\n", "id2,c,d\n", "id3,e,f\n", "id2,x,y\n"]
+    sel = ["id2\tmeta\n", "id9\tzz\n", "id1\n"]
+    csvf, self_ = tmp_path / "t.csv", tmp_path / "s.tsv"
+    csvf.write_text("".join(csv))
+    self_.write_text("".join(sel))
+    ref = subprocess.run(
+        [PERL, f"{SRC}/csv_table_subset.pl", str(csvf), str(self_)],
+        capture_output=True, text=True, check=True).stdout
+    buf = io.StringIO()
+    csvutil.csv_table_subset(csv, sel, out=buf)
+    assert buf.getvalue() == ref
+
+    ref = subprocess.run(
+        [PERL, f"{SRC}/ordcsv_table_subset.pl", str(csvf), str(self_)],
+        capture_output=True, text=True, check=True).stdout
+    buf = io.StringIO()
+    csvutil.ordcsv_table_subset(csv, sel, out=buf)
+    assert buf.getvalue() == ref
