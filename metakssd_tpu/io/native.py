@@ -77,6 +77,18 @@ def _load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
     lib.sketch_cpu_free.restype = None
     lib.sketch_cpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+    lib.fastseq_stream_open.restype = ctypes.c_void_p
+    lib.fastseq_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.fastseq_stream_next.restype = ctypes.c_int64
+    lib.fastseq_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fastseq_stream_n_codes.restype = ctypes.c_int64
+    lib.fastseq_stream_n_codes.argtypes = [ctypes.c_void_p]
+    lib.fastseq_stream_codes_ptr.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.fastseq_stream_codes_ptr.argtypes = [ctypes.c_void_p]
+    lib.fastseq_stream_starts_ptr.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.fastseq_stream_starts_ptr.argtypes = [ctypes.c_void_p]
+    lib.fastseq_stream_close.restype = None
+    lib.fastseq_stream_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -116,6 +128,35 @@ def parse_fastq(path: str, min_qual: int = 0):
     if not h:
         raise OSError(f"fastseq: cannot open {path}")
     return _extract(lib, h)
+
+
+def stream_fastq(path: str, min_qual: int = 0,
+                 max_bases: int = 64 << 20):
+    """Generator of (codes uint8, read_starts int64) batches, bounded to
+    ~max_bases host bytes per batch (reads never split across batches).
+    Yields nothing (raises OSError on open failure) when the file is
+    empty; returns None-generator if native unavailable — callers check
+    available() first."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native parser unavailable")
+    h = lib.fastseq_stream_open(path.encode(), min_qual)
+    if not h:
+        raise OSError(f"fastseq: cannot open {path}")
+    try:
+        while True:
+            nreads = lib.fastseq_stream_next(h, max_bases)
+            if nreads == 0:
+                break
+            n = lib.fastseq_stream_n_codes(h)
+            codes = np.ctypeslib.as_array(
+                lib.fastseq_stream_codes_ptr(h), shape=(n,)).copy()
+            starts = np.ctypeslib.as_array(
+                lib.fastseq_stream_starts_ptr(h),
+                shape=(nreads + 1,)).copy()
+            yield codes, starts
+    finally:
+        lib.fastseq_stream_close(h)
 
 
 def sketch_cpu(codes: np.ndarray, shuf, accept=None,

@@ -454,13 +454,11 @@ def sketch_codes_with_positions(codes: np.ndarray, shuf: DimShuffle,
             np.concatenate(out_pos) if out_pos else np.zeros(0, np.int64))
 
 
-def sketch_to_sets(codes: np.ndarray, shuf: DimShuffle, mode: str = "set",
-                   min_occ: int = 1,
-                   accept: tuple[np.ndarray, np.ndarray] | None = None
-                   ) -> list[tuple[np.ndarray, np.ndarray | None]]:
-    """Device-accelerated equivalent of golden.sketch_sets."""
-    p = shuf.params
-    dr = sketch_codes(codes, shuf, accept=accept)
+def sets_from_drtuples(dr: np.ndarray, p, mode: str = "set",
+                       min_occ: int = 1
+                       ) -> list[tuple[np.ndarray, np.ndarray | None]]:
+    """Unique/count/mode-filter a drtuple multiset and split components
+    (the tail of golden.sketch_sets, shared by all sketching paths)."""
     uniq, counts = np.unique(dr, return_counts=True)
     if mode == "uniq":
         uniq, counts = uniq[counts == 1], None
@@ -476,3 +474,12 @@ def sketch_to_sets(codes: np.ndarray, shuf: DimShuffle, mode: str = "set",
     ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
     return [(ids[comp == ci], counts[comp == ci] if counts is not None else None)
             for ci in range(p.component_num)]
+
+
+def sketch_to_sets(codes: np.ndarray, shuf: DimShuffle, mode: str = "set",
+                   min_occ: int = 1,
+                   accept: tuple[np.ndarray, np.ndarray] | None = None
+                   ) -> list[tuple[np.ndarray, np.ndarray | None]]:
+    """Device-accelerated equivalent of golden.sketch_sets."""
+    dr = sketch_codes(codes, shuf, accept=accept)
+    return sets_from_drtuples(dr, shuf.params, mode=mode, min_occ=min_occ)

@@ -58,6 +58,31 @@ def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]
     return paths
 
 
+# Whole-file fastq ingestion switches to the bounded-memory streaming
+# parser above this on-disk size (or always with MKSSD_STREAM=1).
+STREAM_THRESHOLD = int(os.environ.get("MKSSD_STREAM_THRESHOLD",
+                                      512 << 20))
+STREAM_BATCH_BASES = int(os.environ.get("MKSSD_STREAM_BATCH", 64 << 20))
+
+
+def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
+                            min_occ: int, min_qual: int, accept):
+    """Sketch an arbitrarily large fastq with O(batch) host memory:
+    fixed-size read batches stream from the native parser (reads never
+    split, so no window spans a batch boundary), each batch's accepted
+    drtuples accumulate (~1/4096 of windows), and unique/count runs once
+    at the end.  The reference's analogue is the 64 KiB buffer /
+    65536-read batch loop (iseq2comem.c:655-673)."""
+    from metakssd_tpu.io import native
+    parts = []
+    for codes, _ in native.stream_fastq(path, min_qual,
+                                        STREAM_BATCH_BASES):
+        parts.append(sketch_xla.sketch_codes(codes, shuf, accept=accept))
+    dr = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    return sketch_xla.sets_from_drtuples(dr, shuf.params, mode=mode,
+                                         min_occ=min_occ)
+
+
 def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
                 accept=None) -> list[tuple[np.ndarray, np.ndarray | None]]:
     """Sketch one input file into per-component (ids, counts)."""
@@ -72,14 +97,19 @@ def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
                                          accept=accept)
     fmt = seqio.sniff_format(path)
     if fmt == "fastq":
-        if opts.abundance:
-            # reference -A path (mt_shortreads2koc): no quality filter
-            codes, _ = seqio.fastq_to_codes(path, min_qual=0)
-            return sketch_xla.sketch_to_sets(codes, shuf, mode="koc",
-                                             accept=accept)
-        codes, _ = seqio.fastq_to_codes(path, min_qual=opts.min_qual)
-        return sketch_xla.sketch_to_sets(codes, shuf, mode="occ",
-                                         min_occ=opts.min_occ, accept=accept)
+        mode = "koc" if opts.abundance else "occ"
+        # reference -A path (mt_shortreads2koc) has no quality filter
+        q = 0 if opts.abundance else opts.min_qual
+        from metakssd_tpu.io import native
+        stream = os.environ.get("MKSSD_STREAM") == "1" or \
+            os.path.getsize(path) > STREAM_THRESHOLD
+        if stream and native.available():
+            return _sketch_fastq_streaming(path, shuf, mode,
+                                           opts.min_occ, q, accept)
+        codes, _ = seqio.fastq_to_codes(path, min_qual=q)
+        return sketch_xla.sketch_to_sets(codes, shuf, mode=mode,
+                                         min_occ=opts.min_occ,
+                                         accept=accept)
     codes = seqio.fasta_to_codes(path)
     mode = "uniq" if opts.dedup else "set"
     return sketch_xla.sketch_to_sets(codes, shuf, mode=mode, accept=accept)

@@ -140,6 +140,69 @@ void* fastseq_parse_fastq(const char* path, int min_qual) {
     return res;
 }
 
+// ---------------------------------------------------------------------
+// Streaming fastq API: bounded-memory ingestion (the reference streams
+// 64 KiB buffers / 65536-read batches, iseq2comem.c:655-673; here the
+// unit is a caller-sized base budget, reads never split across batches).
+// ---------------------------------------------------------------------
+
+struct FqStream {
+    LineReader reader;
+    int min_qual;
+    ParseResult batch;             // reused per batch
+    explicit FqStream(const char* path, int q)
+        : reader(path), min_qual(q) {}
+};
+
+void* fastseq_stream_open(const char* path, int min_qual) {
+    auto* s = new FqStream(path, min_qual);
+    if (!s->reader.ok()) { delete s; return nullptr; }
+    return s;
+}
+
+// Parse reads until >= max_bases codes (or EOF).  Returns number of
+// reads in the batch (0 = EOF).  Buffers live until the next call.
+int64_t fastseq_stream_next(void* h, int64_t max_bases) {
+    auto* s = (FqStream*)h;
+    s->batch.codes.clear();
+    s->batch.starts.clear();
+    size_t n;
+    std::string seq;
+    while ((int64_t)s->batch.codes.size() < max_bases) {
+        const char* hd = s->reader.next(&n);
+        if (!hd) break;
+        const char* sq = s->reader.next(&n);
+        if (!sq) break;
+        seq.assign(sq, n);
+        size_t slen = n;
+        s->reader.next(&n);                      // +
+        const char* q = s->reader.next(&n);      // quality
+        s->batch.starts.push_back((int64_t)s->batch.codes.size());
+        size_t base = s->batch.codes.size();
+        translate_append(s->batch.codes, seq.data(), slen);
+        if (s->min_qual > 0 && q && n == slen) {
+            for (size_t i = 0; i < slen; i++)
+                if ((uint8_t)q[i] < (uint8_t)s->min_qual)
+                    s->batch.codes[base + i] = RESET;
+        }
+        s->batch.codes.push_back(RESET);
+    }
+    int64_t nreads = (int64_t)s->batch.starts.size();
+    s->batch.starts.push_back((int64_t)s->batch.codes.size());
+    return nreads;
+}
+
+int64_t fastseq_stream_n_codes(void* h) {
+    return (int64_t)((FqStream*)h)->batch.codes.size();
+}
+const uint8_t* fastseq_stream_codes_ptr(void* h) {
+    return ((FqStream*)h)->batch.codes.data();
+}
+const int64_t* fastseq_stream_starts_ptr(void* h) {
+    return ((FqStream*)h)->batch.starts.data();
+}
+void fastseq_stream_close(void* h) { delete (FqStream*)h; }
+
 int64_t fastseq_n_codes(void* h) {
     return (int64_t)((ParseResult*)h)->codes.size();
 }

@@ -73,3 +73,34 @@ def test_native_fastq_matches_python(tmp_path):
         pc, ps = _py_fastq(fq, q)
         np.testing.assert_array_equal(nc, pc, err_msg=f"q={q}")
         np.testing.assert_array_equal(ns, ps, err_msg=f"q={q}")
+
+
+@needs_native
+def test_streaming_fastq_sketch_identical(tmp_path, monkeypatch):
+    """MKSSD_STREAM=1 (bounded-memory batch ingestion) produces the
+    identical sketch to whole-file parsing, for koc and occ modes."""
+    from metakssd_tpu import pipeline
+    from metakssd_tpu.formats.shuf import make_shuf
+    from metakssd_tpu.params import SketchParams
+    from tests.util import random_seq, write_fastq, reads_from_genome
+
+    rng = np.random.default_rng(4)
+    g = random_seq(rng, 60000)
+    reads = reads_from_genome(rng, g, 2000, 90)
+    quals = ["".join(chr(int(q)) for q in rng.integers(33, 74, len(r)))
+             for r in reads]
+    fq = str(tmp_path / "s.fq")
+    write_fastq(fq, reads, quals)
+    shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=6)
+    monkeypatch.setattr(pipeline, "STREAM_BATCH_BASES", 30000)
+
+    for opts in (pipeline.SketchOptions(abundance=True),
+                 pipeline.SketchOptions(min_qual=53, min_occ=2)):
+        monkeypatch.delenv("MKSSD_STREAM", raising=False)
+        whole = pipeline.sketch_file(fq, shuf, opts)
+        monkeypatch.setenv("MKSSD_STREAM", "1")
+        streamed = pipeline.sketch_file(fq, shuf, opts)
+        for c in range(len(whole)):
+            np.testing.assert_array_equal(whole[c][0], streamed[c][0])
+            if whole[c][1] is not None:
+                np.testing.assert_array_equal(whole[c][1], streamed[c][1])
