@@ -44,7 +44,8 @@ def _cmd_dist(args) -> int:
         abundance=args.abundance, dedup=args.dedup,
         min_occ=args.LstKmerOcrs, min_qual=args.quality,
         byread=args.byread, pipecmd=args.pipecmd,
-        threads=args.threadN, keepcofile=args.keepcofile)
+        threads=args.threadN, keepcofile=args.keepcofile,
+        mesh=args.mesh)
 
     def has(d, f):
         return os.path.isdir(d) and os.path.exists(os.path.join(d, f))
@@ -148,7 +149,7 @@ def _cmd_composite(args) -> int:
         kw = {} if args.min_km_s is None else {"min_km_s": args.min_km_s}
         composite.get_species_abundance(
             args.ref, args.query, outdir=args.outfile,
-            binvec=args.binVec, **kw)
+            binvec=args.binVec, shard_db=args.shard_db, **kw)
     elif args.ref and args.idxbv:
         composite.index_abv(args.ref)
     elif args.ref and args.search is not None:
@@ -209,6 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--seed", type=int, default=None)
     di.add_argument("--shard-db", type=int, default=0, dest="shard_db",
                     help="shard the reference over N devices (db axis)")
+    di.add_argument("--mesh", type=int, default=0,
+                    help="data-parallel sketching over N devices")
     di.add_argument("--component_sz", type=int, default=None,
                     help="mco dense row space = 16^N (reference "
                          "COMPONENT_SZ macro; default 8)")
@@ -243,6 +246,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="min shared k-mers to report a species "
                          "(reference MIN_KM_S macro: 6 default, 1 in "
                          "the 16S build)")
+    co.add_argument("--shard-db", type=int, default=0, dest="shard_db",
+                    help="shard the MarkerDB k-mer space over N devices")
     co.add_argument("rest", nargs="*")
     co.set_defaults(func=_cmd_composite)
 

@@ -172,9 +172,14 @@ def stage_markerdb(refdir: str, ref: CoDir | None = None,
 
 def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
                           binvec: bool = False, min_km_s: int = MIN_KM_S,
-                          use_device: bool = True, out=None) -> None:
+                          use_device: bool = True, out=None,
+                          shard_db: int = 0) -> None:
     """Profile query metagenome sketches against a MarkerDB
-    (reference get_species_abundance, command_composite.c:446-649)."""
+    (reference get_species_abundance, command_composite.c:446-649).
+
+    shard_db > 1 shards the MarkerDB's distinct k-mer space over that
+    many devices (db mesh axis) — for MarkerDBs larger than one HBM;
+    output stays byte-identical to the serial path."""
     import sys
     out = out or sys.stdout
     ref = CoDir.read(refdir, want_abund=False)
@@ -188,6 +193,13 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
     nref = ref.stat.infile_num
     # per-component match index (staged once per MarkerDB, then reused)
     comp_idx = stage_markerdb(refdir, ref)
+    if shard_db > 1:
+        from metakssd_tpu.parallel import mesh as pmesh
+        m = pmesh.make_mesh(n_data=1, n_db=shard_db)
+        comp_idx = [
+            None if ci is None else pmesh.ShardedMatchIndex(
+                np.asarray(ci.rk), ci.starts, ci.gid_sorted, m)
+            for ci in comp_idx]
 
     use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):

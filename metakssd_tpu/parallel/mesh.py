@@ -134,12 +134,18 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
     n_db = mesh.shape["db"]
     out = np.zeros((qry.stat.infile_num, num_refs), dtype=np.uint32)
 
-    def step(post_k, post_g, qids):
+    def step(post_k, post_g, qids, qlen):
         # Weight each posting by the query k-mer's multiplicity (per-read
         # fastq sketches carry duplicates; the serial path walks posting
         # rows once per query occurrence, command_dist.c:1044-1049).
-        lo = jnp.searchsorted(qids[0], post_k[0], side="left")
-        hi = jnp.searchsorted(qids[0], post_k[0], side="right")
+        # qids is padded to a size bucket with UINT32_MAX; clamping both
+        # searchsorted results to the real length keeps a posting k-mer
+        # equal to UINT32_MAX from counting the padding.
+        n = qlen[0]
+        lo = jnp.minimum(
+            jnp.searchsorted(qids[0], post_k[0], side="left"), n)
+        hi = jnp.minimum(
+            jnp.searchsorted(qids[0], post_k[0], side="right"), n)
         mult = (hi - lo).astype(jnp.uint32)
         mult = jnp.where(post_g[0] >= 0, mult, np.uint32(0))
         partial = jax.ops.segment_sum(
@@ -149,8 +155,11 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
     from jax import shard_map
     stepf = jax.jit(shard_map(
         step, mesh=mesh,
-        in_specs=(P(None, "db"), P(None, "db"), P(None, None)),
+        in_specs=(P(None, "db"), P(None, "db"), P(None, None),
+                  P(None)),
         out_specs=P(None, None), check_vma=False))
+
+    from jax.sharding import NamedSharding
 
     for c in range(ref.stat.comp_num):
         inv = mco_fmt.InvertedIndex.from_codir(ref, c)
@@ -165,14 +174,105 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
                                  np.zeros(pad, np.uint32)])[None]
         post_g = np.concatenate([post_g,
                                  np.full(pad, -1, np.int32)])[None]
+        # stage the postings device-resident ONCE per component — every
+        # query then ships only its (small) sketch
+        shard = NamedSharding(mesh, P(None, "db"))
+        post_k_d = jax.device_put(post_k, shard)
+        post_g_d = jax.device_put(post_g, shard)
         for q in range(qry.stat.infile_num):
             qids = np.sort(qry.genome_ids(c, q))
             if qids.size == 0:
                 continue
-            cnt = stepf(jnp.asarray(post_k), jnp.asarray(post_g),
-                        jnp.asarray(qids[None]))
+            # pad to a power-of-two bucket: one compiled step per
+            # (postings, bucket) shape instead of one per query
+            nq = qids.size
+            bucket = 1 << max(nq - 1, 1).bit_length()
+            qpad = np.full(bucket, UINT32_MAX, dtype=np.uint32)
+            qpad[:nq] = qids
+            cnt = stepf(post_k_d, post_g_d, jnp.asarray(qpad[None]),
+                        jnp.asarray(np.array([nq], np.int32)))
             out[q] += np.asarray(cnt[0], dtype=np.uint32)
     return out
+
+
+class ShardedMatchIndex:
+    """MarkerDB match index with the distinct k-mer space sharded over
+    the ``db`` mesh axis — the multi-chip deployment shape for MarkerDBs
+    larger than one device's HBM.
+
+    Drop-in for composite._CompIndex: ``match()`` returns the identical
+    (matched posting genomes, matched query abundances), so profiling
+    output is byte-identical to the serial path.  Each device holds one
+    contiguous slice of the sorted distinct k-mers and probes every
+    query against it; a query k-mer is found on exactly one device.
+    """
+
+    def __init__(self, rk: np.ndarray, starts: np.ndarray,
+                 gid_sorted: np.ndarray, mesh: Mesh):
+        from jax.sharding import NamedSharding
+        self.starts = np.asarray(starts)
+        self.gid_sorted = np.asarray(gid_sorted)
+        self.mesh = mesh
+        n_db = mesh.shape["db"]
+        nk = rk.size
+        per_dev = -(-max(nk, 1) // n_db)
+        pad = per_dev * n_db - nk
+        rk_pad = np.concatenate(
+            [np.asarray(rk, np.uint32),
+             np.full(pad, UINT32_MAX, np.uint32)])
+        self.nk = nk
+        self.per_dev = per_dev
+        self.rk_d = jax.device_put(
+            rk_pad, NamedSharding(mesh, P("db")))
+        from jax import shard_map
+
+        def fn(rk_sh, qids, qlen):
+            # local positions only (int32-safe even for >2^31 global
+            # k-mers); the host adds the device offset in int64
+            pos = jnp.searchsorted(rk_sh, qids, side="left")
+            pos_c = jnp.minimum(pos, rk_sh.shape[0] - 1)
+            member = ((rk_sh[pos_c] == qids)
+                      & (jnp.arange(qids.shape[0]) < qlen[0]))
+            return member[None], pos_c[None].astype(jnp.int32)
+
+        self._step = jax.jit(shard_map(
+            fn, mesh=mesh, in_specs=(P("db"), P(None), P(None)),
+            out_specs=(P("db", None), P("db", None)), check_vma=False))
+
+    def match(self, qids_s: np.ndarray, qab_s: np.ndarray, use_pallas
+              ) -> tuple[np.ndarray, np.ndarray]:
+        nq = qids_s.size
+        if nq == 0 or self.nk == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.uint16))
+        bucket = 1 << max(nq - 1, 1).bit_length()
+        qpad = np.full(bucket, UINT32_MAX, dtype=np.uint32)
+        qpad[:nq] = qids_s
+        member2d, lpos2d = self._step(
+            self.rk_d, jnp.asarray(qpad),
+            jnp.asarray(np.array([nq], np.int32)))
+        member2d = np.asarray(member2d)
+        lpos2d = np.asarray(lpos2d)
+        m_any = member2d.any(axis=0)[:nq]
+        dev = np.argmax(member2d, axis=0)[:nq]
+        cols = np.nonzero(m_any)[0]
+        rows = (dev[m_any].astype(np.int64) * self.per_dev
+                + lpos2d[dev[m_any], cols])
+        # drop matches landing in the UINT32_MAX pad slice (only a real
+        # query id equal to the pad value can produce one)
+        valid = rows < self.nk
+        rows = rows[valid]
+        ab = qab_s[cols[valid]]
+        st, en = self.starts[rows], self.starts[rows + 1]
+        lens = en - st
+        total = int(lens.sum())
+        if total == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.uint16))
+        bnd = np.zeros(rows.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=bnd[1:])
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(bnd, lens) + np.repeat(st, lens))
+        return (self.gid_sorted[flat].astype(np.int32),
+                np.repeat(ab, lens))
 
 
 def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,

@@ -34,6 +34,7 @@ class SketchOptions:
     pipecmd: str = ""          # -P  (decompress/filter command -> fastq)
     threads: int = 0           # -p  (host parse pool; 0 = cpu count)
     keepcofile: bool = False   # --keepcofile (per-file .co intermediates)
+    mesh: int = 0              # --mesh (data-parallel sketch over N devices)
 
 
 def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]:
@@ -86,15 +87,27 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
 def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
                 accept=None) -> list[tuple[np.ndarray, np.ndarray | None]]:
     """Sketch one input file into per-component (ids, counts)."""
+
+    def _sets(codes, mode):
+        if opts.mesh > 1:
+            # data-parallel sketch over the device mesh (window shards
+            # per device, exact merge; parallel/mesh.sharded_sketch)
+            from metakssd_tpu.parallel import mesh as pmesh
+            m = pmesh.make_mesh(n_data=opts.mesh, n_db=1)
+            dr = pmesh.sharded_sketch(codes, shuf, m)
+            return sketch_xla.sets_from_drtuples(dr, shuf.params,
+                                                 mode=mode,
+                                                 min_occ=opts.min_occ)
+        return sketch_xla.sketch_to_sets(codes, shuf, mode=mode,
+                                         min_occ=opts.min_occ,
+                                         accept=accept)
+
     if opts.pipecmd:
         # reference treats piped input as fastq (command_dist.c:378)
         codes, _ = seqio.pipecmd_to_codes(
             opts.pipecmd, path,
             min_qual=0 if opts.abundance else opts.min_qual)
-        mode = "koc" if opts.abundance else "occ"
-        return sketch_xla.sketch_to_sets(codes, shuf, mode=mode,
-                                         min_occ=opts.min_occ,
-                                         accept=accept)
+        return _sets(codes, "koc" if opts.abundance else "occ")
     fmt = seqio.sniff_format(path)
     if fmt == "fastq":
         mode = "koc" if opts.abundance else "occ"
@@ -103,16 +116,13 @@ def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
         from metakssd_tpu.io import native
         stream = os.environ.get("MKSSD_STREAM") == "1" or \
             os.path.getsize(path) > STREAM_THRESHOLD
-        if stream and native.available():
+        if stream and opts.mesh <= 1 and native.available():
             return _sketch_fastq_streaming(path, shuf, mode,
                                            opts.min_occ, q, accept)
         codes, _ = seqio.fastq_to_codes(path, min_qual=q)
-        return sketch_xla.sketch_to_sets(codes, shuf, mode=mode,
-                                         min_occ=opts.min_occ,
-                                         accept=accept)
+        return _sets(codes, mode)
     codes = seqio.fasta_to_codes(path)
-    mode = "uniq" if opts.dedup else "set"
-    return sketch_xla.sketch_to_sets(codes, shuf, mode=mode, accept=accept)
+    return _sets(codes, "uniq" if opts.dedup else "set")
 
 
 def sketch_byread(path: str, shuf: DimShuffle, out_dir: str,
@@ -219,6 +229,7 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
 
     from metakssd_tpu.utils import TIMER
     batchable = (len(inputs) > 1 and not opts.pipecmd and
+                 opts.mesh <= 1 and
                  (not koc or
                   all(seqio.sniff_format(f) == "fastq" for f in inputs)))
     with TIMER.stage(f"stage1.sketch[{len(inputs)} files]"):

@@ -53,3 +53,57 @@ def test_sharded_counts_match_serial(tmp_path):
     sharded_d = pmesh.sharded_shared_counts(co_ref, co_dup, m)
     np.testing.assert_array_equal(serial_d, sharded_d)
     assert (serial_d != serial).any()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_composite_profile_identical(tmp_path):
+    """composite --shard-db over the 8-device mesh is byte-identical to
+    the serial profile."""
+    import io
+    from metakssd_tpu import composite
+    from tests.util import write_fastq, reads_from_genome
+
+    rng = np.random.default_rng(5)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    genomes = [random_seq(rng, 40000) for _ in range(6)]
+    for i, g in enumerate(genomes):
+        write_fasta(str(gdir / f"g{i}.fa"), [g])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=17))
+    db = str(tmp_path / "db")
+    cli.main(["dist", "-L", shufp, "-o", db, str(gdir)])
+    reads = reads_from_genome(rng, genomes[2], 1500, 90)
+    fq = str(tmp_path / "q.fq")
+    write_fastq(fq, reads, ["I" * len(r) for r in reads])
+    qco = str(tmp_path / "qco")
+    cli.main(["dist", "-L", shufp, "-A", "-o", qco, fq])
+
+    serial, sharded = io.StringIO(), io.StringIO()
+    composite.get_species_abundance(db, qco, out=serial)
+    composite.get_species_abundance(db, qco, out=sharded, shard_db=8)
+    assert serial.getvalue() == sharded.getvalue()
+    assert serial.getvalue().count("\n") >= 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_stage1_sketch_identical(tmp_path):
+    """dist --mesh data-parallel sketching equals the serial sketch."""
+    rng = np.random.default_rng(6)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    for i in range(2):
+        write_fasta(str(gdir / f"g{i}.fa"), [random_seq(rng, 50000)])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=19))
+    a = str(tmp_path / "a")
+    cli.main(["dist", "-L", shufp, "-o", a, str(gdir)])
+    b = str(tmp_path / "b")
+    cli.main(["dist", "-L", shufp, "--mesh", "8", "-o", b, str(gdir)])
+    from metakssd_tpu.formats.codir import CoDir
+    ca, cb = CoDir.read(a), CoDir.read(b)
+    for g in range(2):
+        np.testing.assert_array_equal(ca.genome_ids(0, g),
+                                      cb.genome_ids(0, g))
