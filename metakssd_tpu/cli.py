@@ -153,7 +153,12 @@ def _cmd_composite(args) -> int:
     elif args.ref and args.idxbv:
         composite.index_abv(args.ref)
     elif args.ref and args.search is not None:
-        composite.abv_search(args.ref, args.rest or [], mode=args.search)
+        if args.dense:
+            composite.abv_search_dense(args.ref, args.rest or [],
+                                       mode=args.search)
+        else:
+            composite.abv_search(args.ref, args.rest or [],
+                                 mode=args.search)
     elif args.readabv:
         for f in args.rest or []:
             composite.read_abv(f)
@@ -248,6 +253,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "the 16S build)")
     co.add_argument("--shard-db", type=int, default=0, dest="shard_db",
                     help="shard the MarkerDB k-mer space over N devices")
+    co.add_argument("--dense", action="store_true",
+                    help="batched dense MXU path for -s searches (one "
+                         "matmul dispatch for all queries; last-ulp "
+                         "value differences vs the sparse path)")
     co.add_argument("rest", nargs="*")
     co.set_defaults(func=_cmd_composite)
 

@@ -471,6 +471,64 @@ def _dense_l1(db: jnp.ndarray, q: jnp.ndarray, chunk: int = 512):
     return acc
 
 
+def abv_search_dense(refdir: str, queries: list[str], mode: int = 0,
+                     out=None) -> None:
+    """Text-mode abv search through the batched dense MXU path.
+
+    Same output format as :func:`abv_search` (reference abv_search,
+    command_composite.c:217-348) but all queries are searched in ONE
+    batched matmul-based dispatch — the TPU throughput path.  Values may
+    differ from the sparse path in the last float ulp (f32 matmul
+    accumulation vs the reference's sequential f32 adds) and ties are
+    broken by sample id instead of first-posting-touch order.
+    """
+    import sys
+    out = out or sys.stdout
+    # Respect the backend policy: on a tunnel-attached TPU (platform
+    # 'axon') the h2d link caps the dense path below host matmuls — and
+    # a wedged tunnel would hang the dispatch.  Route to the host CPU
+    # backend there; a colocated TPU keeps the MXU path.
+    from metakssd_tpu.ops.sketch_xla import _backend_policy
+    if _backend_policy() == "cpu" and jax.default_backend() != "cpu":
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _abv_search_dense_impl(refdir, queries, mode, out)
+    return _abv_search_dense_impl(refdir, queries, mode, out)
+
+
+def _abv_search_dense_impl(refdir: str, queries: list[str], mode: int,
+                           out) -> None:
+    idx = AbvIndex.read(refdir)
+    nspecies = int(idx.abmi.size)
+    dense = DenseAbv.from_index(idx, nspecies)
+
+    qmat = []
+    qnames = []
+    for qpath in queries:
+        if not qpath.endswith(".abv"):
+            print(f"argument {qpath} is not a .abv file, skipped")
+            continue
+        qpath2 = (os.path.join(refdir, BINVEC_DIRNAME, qpath)
+                  if "/" not in qpath else qpath)
+        qi, qp = read_abv_file(qpath2)
+        row = np.zeros(nspecies, dtype=np.float32)
+        row[qi] = qp
+        qmat.append(row)
+        qnames.append(qpath)
+    if not qmat:
+        return
+    measure, overlap = abv_search_batch(dense, np.stack(qmat), mode=mode)
+    hdr = {0: "CosineXY", 1: "L1norm", 2: "L2norm"}[mode]
+    for b in range(len(qnames)):
+        ids = np.nonzero(overlap[b])[0]
+        vals = measure[b, ids]
+        order = np.argsort(vals, kind="stable")
+        if mode == 0:
+            order = order[::-1]
+        out.write(f"#Sample\t{hdr}\n")
+        for j in order:
+            out.write(f"{idx.names[ids[j]]}\t{vals[j]:f}\n")
+
+
 def abv_search_batch(dense: DenseAbv, queries: np.ndarray, mode: int = 0
                      ) -> tuple[np.ndarray, np.ndarray]:
     """All-measure batched search (reference semantics).

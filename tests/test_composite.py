@@ -146,3 +146,46 @@ def test_dense_cosine_matches_sparse(profiling_setup):
     best_name, best_val = lines[0][0], float(lines[0][1])
     assert idx.names[ids[0, 0]] == best_name
     assert abs(float(scores[0, 0]) - best_val) < 1e-4
+
+
+def test_dense_text_search_matches_sparse_all_modes(profiling_setup):
+    """abv_search_dense (batched MXU path) vs abv_search (sparse,
+    byte-parity-with-oracle path): same sample set, same ordering, values
+    within f32-accumulation tolerance, for all three measures."""
+    tmp, refco, qco = profiling_setup
+    if not os.path.exists(os.path.join(refco, "abundance_Vec.abm")):
+        pytest.skip("index not built (oracle unavailable)")
+    queries = ["sample0.fq.abv", "sample1.fq.abv"]
+    for mode in (0, 1, 2):
+        sparse = io.StringIO()
+        for q in queries:
+            composite.abv_search(refco, [q], mode=mode, out=sparse)
+        dense = io.StringIO()
+        composite.abv_search_dense(refco, queries, mode=mode, out=dense)
+        sp = sparse.getvalue().splitlines()
+        dn = dense.getvalue().splitlines()
+        assert len(sp) == len(dn)
+        for a, b in zip(sp, dn):
+            if a.startswith("#"):
+                assert a == b
+                continue
+            na, va = a.split("\t")
+            nb, vb = b.split("\t")
+            assert na == nb, f"mode {mode}: order differs: {a} vs {b}"
+            assert abs(float(va) - float(vb)) <= 2e-3 + 1e-3 * abs(
+                float(va)), f"mode {mode}: {a} vs {b}"
+
+
+def test_cli_dense_flag(profiling_setup, capsys):
+    tmp, refco, qco = profiling_setup
+    if not os.path.exists(os.path.join(refco, "abundance_Vec.abm")):
+        pytest.skip("index not built (oracle unavailable)")
+    from metakssd_tpu import cli
+    cli.main(["composite", "-r", refco, "-s", "0", "--dense",
+              "sample0.fq.abv"])
+    dense_out = capsys.readouterr().out
+    cli.main(["composite", "-r", refco, "-s", "0", "sample0.fq.abv"])
+    sparse_out = capsys.readouterr().out
+    d0 = dense_out.splitlines()[1].split("\t")[0]
+    s0 = sparse_out.splitlines()[1].split("\t")[0]
+    assert d0 == s0
