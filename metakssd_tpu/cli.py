@@ -45,7 +45,7 @@ def _cmd_dist(args) -> int:
         min_occ=args.LstKmerOcrs, min_qual=args.quality,
         byread=args.byread, pipecmd=args.pipecmd,
         threads=args.threadN, keepcofile=args.keepcofile,
-        mesh=args.mesh)
+        mesh=args.mesh, ckpt=args.ckpt)
 
     def has(d, f):
         return os.path.isdir(d) and os.path.exists(os.path.join(d, f))
@@ -217,6 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard the reference over N devices (db axis)")
     di.add_argument("--mesh", type=int, default=0,
                     help="data-parallel sketching over N devices")
+    di.add_argument("--ckpt", action="store_true",
+                    help="checkpoint stage-I per file (and per stream "
+                         "batch); re-run resumes after a crash")
     di.add_argument("--component_sz", type=int, default=None,
                     help="mco dense row space = 16^N (reference "
                          "COMPONENT_SZ macro; default 8)")

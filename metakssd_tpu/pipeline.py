@@ -35,6 +35,7 @@ class SketchOptions:
     threads: int = 0           # -p  (host parse pool; 0 = cpu count)
     keepcofile: bool = False   # --keepcofile (per-file .co intermediates)
     mesh: int = 0              # --mesh (data-parallel sketch over N devices)
+    ckpt: bool = False         # --ckpt (per-file/per-batch stage-I resume)
 
 
 def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]:
@@ -66,26 +67,86 @@ STREAM_THRESHOLD = int(os.environ.get("MKSSD_STREAM_THRESHOLD",
 STREAM_BATCH_BASES = int(os.environ.get("MKSSD_STREAM_BATCH", 64 << 20))
 
 
+# Streaming checkpoint cadence (batches between persisted snapshots).
+CKPT_EVERY = int(os.environ.get("MKSSD_CKPT_EVERY", 8))
+
+
+def _ckpt_key(path: str, shuf: DimShuffle, mode: str, min_qual: int):
+    st = os.stat(path)
+    return {"file": os.path.abspath(path), "size": st.st_size,
+            "mtime": st.st_mtime, "shuf_id": shuf.params.shuf_id,
+            "mode": mode, "min_qual": min_qual,
+            "batch_bases": STREAM_BATCH_BASES}
+
+
+def _ckpt_save(ckpt_file: str, payload: dict) -> None:
+    """Atomic checkpoint write (tmp + rename): a crash mid-save leaves
+    the previous snapshot intact."""
+    tmp = ckpt_file + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, ckpt_file)
+
+
+def _ckpt_load(ckpt_file: str, key: dict):
+    if not os.path.exists(ckpt_file):
+        return None
+    try:
+        z = np.load(ckpt_file, allow_pickle=False)
+        import json as _json
+        if _json.loads(str(z["key"])) != key:
+            return None
+        return z
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
-                            min_occ: int, min_qual: int, accept):
+                            min_occ: int, min_qual: int, accept,
+                            ckpt_file: str | None = None):
     """Sketch an arbitrarily large fastq with O(batch) host memory:
     fixed-size read batches stream from the native parser (reads never
     split, so no window spans a batch boundary), each batch's accepted
     drtuples accumulate (~1/4096 of windows), and unique/count runs once
     at the end.  The reference's analogue is the 64 KiB buffer /
-    65536-read batch loop (iseq2comem.c:655-673)."""
+    65536-read batch loop (iseq2comem.c:655-673).
+
+    With ckpt_file set, the accumulated drtuples persist every
+    CKPT_EVERY batches; a restart replays the (cheap, native) parse of
+    already-sketched batches but skips their device sketch — the
+    TPU-build analogue of SURVEY §5's per-batch accumulator
+    checkpointing (the reference can only restart a sample from zero)."""
     from metakssd_tpu.io import native
+    import json as _json
+    key = _ckpt_key(path, shuf, mode, min_qual)
+    done = 0
     parts = []
+    if ckpt_file:
+        z = _ckpt_load(ckpt_file, key)
+        if z is not None:
+            done = int(z["done"])
+            parts = [z["dr"].astype(np.uint64)]
+    i = 0
     for codes, _ in native.stream_fastq(path, min_qual,
                                         STREAM_BATCH_BASES):
-        parts.append(sketch_xla.sketch_codes(codes, shuf, accept=accept))
+        if i >= done:
+            parts.append(sketch_xla.sketch_codes(codes, shuf,
+                                                 accept=accept))
+            if ckpt_file and (i + 1 - done) % CKPT_EVERY == 0:
+                _ckpt_save(ckpt_file, {
+                    "key": np.str_(_json.dumps(key)),
+                    "done": np.int64(i + 1),
+                    "dr": np.concatenate(parts)})
+        i += 1
     dr = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    if ckpt_file and os.path.exists(ckpt_file):
+        os.remove(ckpt_file)
     return sketch_xla.sets_from_drtuples(dr, shuf.params, mode=mode,
                                          min_occ=min_occ)
 
 
 def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
-                accept=None) -> list[tuple[np.ndarray, np.ndarray | None]]:
+                accept=None, ckpt_file: str | None = None
+                ) -> list[tuple[np.ndarray, np.ndarray | None]]:
     """Sketch one input file into per-component (ids, counts)."""
 
     def _sets(codes, mode):
@@ -118,7 +179,8 @@ def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
             os.path.getsize(path) > STREAM_THRESHOLD
         if stream and opts.mesh <= 1 and native.available():
             return _sketch_fastq_streaming(path, shuf, mode,
-                                           opts.min_occ, q, accept)
+                                           opts.min_occ, q, accept,
+                                           ckpt_file=ckpt_file)
         codes, _ = seqio.fastq_to_codes(path, min_qual=q)
         return _sets(codes, mode)
     codes = seqio.fasta_to_codes(path)
@@ -213,9 +275,54 @@ def _batched_stage1(inputs: list[str], shuf: DimShuffle,
     return per_genome
 
 
+# Files per batched-sketch group when checkpointing: a crash loses at
+# most one group's work instead of the whole run.
+CKPT_GROUP = int(os.environ.get("MKSSD_CKPT_GROUP", 64))
+
+
+def _file_ckpt_path(ckpt_dir: str, i: int) -> str:
+    return os.path.join(ckpt_dir, f"file{i}.npz")
+
+
+def _save_file_ckpt(fp: str, path: str, sets) -> None:
+    st = os.stat(path)
+    payload = {"size": np.int64(st.st_size), "mtime": np.float64(st.st_mtime),
+               "ncomp": np.int64(len(sets))}
+    for c, (ids, ab) in enumerate(sets):
+        payload[f"ids_{c}"] = np.asarray(ids, dtype=np.uint32)
+        if ab is not None:
+            payload[f"ab_{c}"] = np.asarray(ab)
+    tmp = fp + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, fp)
+
+
+def _load_file_ckpt(fp: str, path: str):
+    if not os.path.exists(fp):
+        return None
+    try:
+        z = np.load(fp, allow_pickle=False)
+        st = os.stat(path)
+        if int(z["size"]) != st.st_size or \
+                float(z["mtime"]) != st.st_mtime:
+            return None
+        return [(z[f"ids_{c}"],
+                 z[f"ab_{c}"] if f"ab_{c}" in z.files else None)
+                for c in range(int(z["ncomp"]))]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                opts: SketchOptions | None = None) -> CoStat:
-    """Sketch all inputs and write the combined sketch directory."""
+    """Sketch all inputs and write the combined sketch directory.
+
+    With opts.ckpt, per-file sketch results persist under
+    out_dir/.stage1_ckpt/ as they complete (streaming single-file
+    sketches additionally checkpoint every CKPT_EVERY batches); a
+    re-run after a crash resumes instead of re-sketching.  SURVEY §5
+    failure-recovery TPU-build note (the reference's only resume is
+    whole-artifact granularity, command_dist.c:986-989)."""
     opts = opts or SketchOptions()
     p = shuf.params
     accept = shuf.device_tables()
@@ -232,12 +339,48 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                  opts.mesh <= 1 and
                  (not koc or
                   all(seqio.sniff_format(f) == "fastq" for f in inputs)))
+    ckpt_dir = os.path.join(out_dir, ".stage1_ckpt") if opts.ckpt else None
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
     with TIMER.stage(f"stage1.sketch[{len(inputs)} files]"):
         if batchable:
-            per_genome = _batched_stage1(inputs, shuf, opts, accept, koc)
+            per_genome: list = [None] * len(inputs)
+            todo = list(range(len(inputs)))
+            if ckpt_dir:
+                todo = []
+                for i, path in enumerate(inputs):
+                    got = _load_file_ckpt(_file_ckpt_path(ckpt_dir, i),
+                                          path)
+                    if got is not None:
+                        per_genome[i] = got
+                    else:
+                        todo.append(i)
+            group = CKPT_GROUP if ckpt_dir else len(todo)
+            for lo in range(0, len(todo), max(group, 1)):
+                idx = todo[lo:lo + group]
+                got = _batched_stage1([inputs[i] for i in idx], shuf,
+                                      opts, accept, koc)
+                for i, sets in zip(idx, got):
+                    per_genome[i] = sets
+                    if ckpt_dir:
+                        _save_file_ckpt(_file_ckpt_path(ckpt_dir, i),
+                                        inputs[i], sets)
         else:
-            per_genome = [sketch_file(path, shuf, opts, accept=accept)
-                          for path in inputs]
+            per_genome = []
+            for i, path in enumerate(inputs):
+                got = None
+                if ckpt_dir:
+                    got = _load_file_ckpt(_file_ckpt_path(ckpt_dir, i),
+                                          path)
+                if got is None:
+                    sck = (os.path.join(ckpt_dir, f"stream{i}.ckpt")
+                           if ckpt_dir else None)
+                    got = sketch_file(path, shuf, opts, accept=accept,
+                                      ckpt_file=sck)
+                    if ckpt_dir:
+                        _save_file_ckpt(_file_ckpt_path(ckpt_dir, i),
+                                        path, got)
+                per_genome.append(got)
 
     ctx_ct = np.array(
         [sum(g[c][0].size for c in range(p.component_num))
@@ -258,6 +401,10 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                 if ab is not None:
                     ab.astype(np.uint16).tofile(
                         os.path.join(out_dir, f"{i}.co.{c}.a"))
+    if ckpt_dir and os.path.isdir(ckpt_dir):
+        # the combined artifact is now the durable checkpoint
+        import shutil
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return stat
 
 
