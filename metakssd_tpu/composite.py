@@ -313,6 +313,14 @@ def abv_search(refdir: str, queries: list[str], mode: int = 0,
     idx = AbvIndex.read(refdir)
     nsamples = len(idx.names)
     starts = np.concatenate([[0], idx.abmi]).astype(np.int64)
+    names_arr = np.asarray(idx.names, dtype=object)
+    from metakssd_tpu.io import native as native_io
+    names_blob = names_off = None
+    if native_io.available():
+        enc = [n.encode() for n in idx.names]
+        names_off = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in enc], out=names_off[1:])
+        names_blob = b"".join(enc)
 
     for qpath in queries:
         if not qpath.endswith(".abv"):
@@ -345,10 +353,14 @@ def abv_search(refdir: str, queries: list[str], mode: int = 0,
         ys_all = idx.abm_pct[pos]
         xs_all = np.repeat(qpct32, lens)
         # first-appearance order (the reference reports samples in the
-        # order they are first touched)
-        uniq, first = np.unique(sids_all, return_index=True)
-        ids = uniq[np.argsort(first, kind="stable")].astype(np.int64)
-        measure[uniq] = 0.0
+        # order they are first touched): O(postings) min-scatter of the
+        # touch position instead of an O(n log n) unique sort
+        first = np.full(nsamples, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, sids_all, np.arange(total, dtype=np.int64))
+        touched = first != np.iinfo(np.int64).max
+        ids = np.flatnonzero(touched)
+        ids = ids[np.argsort(first[ids], kind="stable")]
+        measure[touched] = 0.0
         if mode == 1:
             np.add.at(measure, sids_all,
                       np.abs(ys_all.astype(np.float64)
@@ -370,18 +382,29 @@ def abv_search(refdir: str, queries: list[str], mode: int = 0,
             measure[ids] += (np.float32(200.0) - xsum[ids] - ysum[ids])
             order = ids[np.argsort(measure[ids], kind="stable")]
             out.write("L1norm\n")
-            for s in order:
-                out.write(f"{idx.names[s]}\t{measure[s]:f}\n")
+            vals = measure[order]
         elif mode == 2:
             order = ids[np.argsort(measure[ids], kind="stable")]
             out.write("L2norm\n")
-            for s in order:
-                out.write(f"{idx.names[s]}\t{math.sqrt(float(measure[s])):f}\n")
+            vals = np.sqrt(measure[order].astype(np.float64))
         else:
             order = ids[np.argsort(measure[ids], kind="stable")][::-1]
             out.write("CosineXY\n")
-            for s in order:
-                out.write(f"{idx.names[s]}\t{measure[s]:f}\n")
+            vals = measure[order]
+        # bulk C-level formatting; per-line Python f-strings are the hot
+        # loop when a query touches most samples (the reference prints
+        # the same lines with printf, command_composite.c:322-346)
+        buf = None
+        if names_blob is not None:
+            buf = native_io.format_name_float_lines(
+                names_blob, names_off, order,
+                np.asarray(vals, dtype=np.float64))
+        if buf is not None:
+            out.write(buf.decode())
+        else:
+            sv = np.char.mod("%f\n", np.asarray(vals, dtype=np.float64))
+            lines = names_arr[order] + "\t" + sv.astype(object)
+            out.write("".join(lines.tolist()))
 
 
 def read_abv(path: str, out=None) -> None:

@@ -38,7 +38,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if not hasattr(lib, "sketch_cpu_run"):
+    if not hasattr(lib, "format_name_float_lines"):
         # stale build from an older source revision: rebuild once
         try:
             subprocess.run(["make", "-B", "-C", _NATIVE_DIR,
@@ -47,7 +47,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             return None
-        if not hasattr(lib, "sketch_cpu_run"):
+        if not hasattr(lib, "format_name_float_lines"):
             return None
     lib.fastseq_parse_fasta.restype = ctypes.c_void_p
     lib.fastseq_parse_fasta.argtypes = [ctypes.c_char_p]
@@ -89,6 +89,11 @@ def _load():
     lib.fastseq_stream_starts_ptr.argtypes = [ctypes.c_void_p]
     lib.fastseq_stream_close.restype = None
     lib.fastseq_stream_close.argtypes = [ctypes.c_void_p]
+    lib.format_name_float_lines.restype = ctypes.c_int64
+    lib.format_name_float_lines.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -212,3 +217,25 @@ def pack_range(codes: np.ndarray, start: int, n: int):
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         vmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return packed, vmask
+
+
+def format_name_float_lines(names_blob: bytes, name_off: np.ndarray,
+                            order: np.ndarray, vals: np.ndarray):
+    """Bulk b"name\\t%f\\n" formatting (glibc printf semantics); returns
+    bytes, or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    name_off = np.ascontiguousarray(name_off, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    cap = len(names_blob) + 48 * order.size + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.format_name_float_lines(
+        names_blob, name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(order.size), out, ctypes.c_int64(cap))
+    if n < 0:
+        return None
+    return out.raw[:n]
