@@ -87,6 +87,11 @@ class _CompIndex:
         total = int(lens.sum())
         if total == 0:
             return (np.zeros(0, np.int32), np.zeros(0, np.uint16))
+        from metakssd_tpu.io import native as native_io
+        got = native_io.postings_expand(rows, self.starts,
+                                        self.gid_sorted, ab, total)
+        if got is not None:
+            return got
         bnd = np.zeros(rows.size, dtype=np.int64)
         np.cumsum(lens[:-1], out=bnd[1:])
         flat = (np.arange(total, dtype=np.int64)
@@ -219,13 +224,37 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
                  else np.zeros(0, np.int32))
         all_ab = (np.concatenate(m_ab) if m_ab
                   else np.zeros(0, np.uint16))
-        counts = np.bincount(all_g, minlength=nref).astype(np.int64)
-        # group matched abundances by genome once (vs a per-genome scan
-        # over every posting)
-        gorder = np.argsort(all_g, kind="stable")
-        ab_sorted = all_ab[gorder]
-        gstarts = np.searchsorted(all_g[gorder],
-                                  np.arange(nref + 1, dtype=np.int64))
+        from metakssd_tpu.io import native as native_io
+        stats = native_io.postings_group_stats(all_g, all_ab, nref,
+                                               ST_PCTL, ED_PCTL)
+        if stats is not None:
+            # fused native pass: group-by-genome + per-genome sorted
+            # stats (native/postings.cpp); float32 divisions happen
+            # below so rounding matches the reference exactly
+            counts, sums, lastsum, lastn, median_a, max_a = stats
+
+            def stats_for(rn_i: int):
+                tot = int(sums[rn_i])
+                cnt = int(counts[rn_i])
+                ln = int(lastn[rn_i])
+                avg = np.float32(tot) / np.float32(cnt)
+                avg9899 = (np.float32(int(lastsum[rn_i])) / np.float32(ln)
+                           if ln else np.float32("nan"))
+                return tot, avg, avg9899, int(median_a[rn_i]), \
+                    int(max_a[rn_i])
+        else:
+            counts = np.bincount(all_g, minlength=nref).astype(np.int64)
+            # group matched abundances by genome once (vs a per-genome
+            # scan over every posting)
+            gorder = np.argsort(all_g, kind="stable")
+            ab_sorted = all_ab[gorder]
+            gstarts = np.searchsorted(all_g[gorder],
+                                      np.arange(nref + 1, dtype=np.int64))
+
+            def stats_for(rn_i: int):
+                return _profile_stats(
+                    ab_sorted[gstarts[rn_i]:gstarts[rn_i + 1]]
+                    .astype(np.int64))
 
         # sort refs by shared count desc, ties stable (glibc mergesort)
         order = np.argsort(-counts, kind="stable")
@@ -235,9 +264,7 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
             kmer_num = int(counts[rn_i])
             if kmer_num < min_km_s:
                 break
-            ab_list = ab_sorted[gstarts[rn_i]:gstarts[rn_i + 1]] \
-                .astype(np.int64)
-            total, avg, avg9899, median, mx = _profile_stats(ab_list)
+            total, avg, avg9899, median, mx = stats_for(int(rn_i))
             if binvec:
                 if median > 1 and kmer_num > min_km_s + 1:
                     binvecs.append((int(rn_i), avg9899))

@@ -96,8 +96,14 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
                 hay, None, qids, use_pallas=use_pallas)
             rows = pos[member].astype(np.int64)
             acc = np.zeros(num_refs, dtype=np.uint32)
-            # chunk the posting expansion so scratch stays bounded even
-            # for mco rows with hundreds of millions of postings
+            # fused native posting count: one O(postings) pass, no
+            # scratch (native/postings.cpp)
+            from metakssd_tpu.io import native as native_io
+            if native_io.postings_count(rows, offs, inv.gids, acc):
+                out[q] += acc
+                continue
+            # NumPy fallback: chunk the posting expansion so scratch
+            # stays bounded even for mco rows with 100Ms of postings
             lo = 0
             while lo < rows.size:
                 hi = lo

@@ -38,7 +38,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if not hasattr(lib, "format_name_float_lines"):
+    if not hasattr(lib, "postings_group_stats"):
         # stale build from an older source revision: rebuild once
         try:
             subprocess.run(["make", "-B", "-C", _NATIVE_DIR,
@@ -47,7 +47,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             return None
-        if not hasattr(lib, "format_name_float_lines"):
+        if not hasattr(lib, "postings_group_stats"):
             return None
     lib.fastseq_parse_fasta.restype = ctypes.c_void_p
     lib.fastseq_parse_fasta.argtypes = [ctypes.c_char_p]
@@ -89,6 +89,24 @@ def _load():
     lib.fastseq_stream_starts_ptr.argtypes = [ctypes.c_void_p]
     lib.fastseq_stream_close.restype = None
     lib.fastseq_stream_close.argtypes = [ctypes.c_void_p]
+    lib.postings_count_u32.restype = None
+    lib.postings_count_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+    lib.postings_expand_i32.restype = None
+    lib.postings_expand_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint16)]
+    lib.postings_group_stats.restype = None
+    lib.postings_group_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
     lib.format_name_float_lines.restype = ctypes.c_int64
     lib.format_name_float_lines.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
@@ -239,3 +257,77 @@ def format_name_float_lines(names_blob: bytes, name_off: np.ndarray,
     if n < 0:
         return None
     return out.raw[:n]
+
+
+def postings_count(rows: np.ndarray, starts: np.ndarray,
+                   gids: np.ndarray, acc: np.ndarray) -> bool:
+    """acc[gids[p]] += 1 over all postings of all (repeatable) rows —
+    the dist shared-count inner loop in one native pass.  Returns False
+    (caller falls back to NumPy) if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    gids = np.ascontiguousarray(gids, dtype=np.uint32)
+    assert acc.dtype == np.uint32 and acc.flags.c_contiguous
+    lib.postings_count_u32(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(rows.size),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        acc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(acc.size))
+    return True
+
+
+def postings_expand(rows: np.ndarray, starts: np.ndarray,
+                    gids: np.ndarray, ab: np.ndarray | None,
+                    total: int):
+    """(out_gid int32[total], out_ab uint16[total] | None): flat posting
+    expansion of the matched rows; None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    gids = np.ascontiguousarray(gids, dtype=np.int32)
+    out_gid = np.empty(total, dtype=np.int32)
+    out_ab = None
+    ab_ptr = None
+    ab_out_ptr = None
+    if ab is not None:
+        ab = np.ascontiguousarray(ab, dtype=np.uint16)
+        out_ab = np.empty(total, dtype=np.uint16)
+        ab_ptr = ab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        ab_out_ptr = out_ab.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16))
+    lib.postings_expand_i32(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(rows.size),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ab_ptr, out_gid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ab_out_ptr)
+    return out_gid, out_ab
+
+
+def postings_group_stats(gids: np.ndarray, ab: np.ndarray, nref: int,
+                         st_pctl: float, ed_pctl: float):
+    """Per-genome reference profile stats over unordered matched
+    postings: (count, sum, lastsum, lastn, median, max) int64 arrays,
+    or None if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    gids = np.ascontiguousarray(gids, dtype=np.int32)
+    ab = np.ascontiguousarray(ab, dtype=np.uint16)
+    outs = [np.empty(nref, dtype=np.int64) for _ in range(6)]
+    ptrs = [o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            for o in outs]
+    lib.postings_group_stats(
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int64(gids.size), ctypes.c_int64(nref),
+        ctypes.c_double(st_pctl), ctypes.c_double(ed_pctl), *ptrs)
+    return tuple(outs)

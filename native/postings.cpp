@@ -1,0 +1,122 @@
+// Posting-list reduction kernels for dist / composite profiling.
+//
+// The TPU-side membership search returns, per query k-mer, the matched
+// row of the inverted MarkerDB index (formats/mco.py CSR layout:
+// gids[starts[r]:starts[r+1]] are the genomes containing k-mer r).
+// What follows — walking matched rows' posting lists and accumulating
+// per-genome counts (reference command_dist.c:1044-1049) or expanding
+// (genome, abundance) pairs (command_composite.c:524-560) — is
+// host-side, memory-bandwidth-bound work.  NumPy needs three
+// O(postings) passes and as many temporaries; these do one.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// acc[gids[p]] += 1 for every posting p of every row in rows.
+// Rows may repeat (one entry per query k-mer *occurrence*, matching the
+// reference's per-occurrence semantics).  OpenMP array reduction when
+// the posting volume is worth the per-thread accumulators.
+void postings_count_u32(const int64_t* rows, int64_t nr,
+                        const int64_t* starts, const uint32_t* gids,
+                        uint32_t* acc, int64_t nref) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < nr; i++)
+        total += starts[rows[i] + 1] - starts[rows[i]];
+    if (total > (int64_t)4 << 20 && nref <= (int64_t)16 << 20) {
+#pragma omp parallel for schedule(dynamic, 1024) \
+    reduction(+ : acc[:nref])
+        for (int64_t i = 0; i < nr; i++) {
+            int64_t r = rows[i];
+            for (int64_t p = starts[r]; p < starts[r + 1]; p++)
+                acc[gids[p]]++;
+        }
+    } else {
+        for (int64_t i = 0; i < nr; i++) {
+            int64_t r = rows[i];
+            for (int64_t p = starts[r]; p < starts[r + 1]; p++)
+                acc[gids[p]]++;
+        }
+    }
+}
+
+// Expand matched rows into flat (genome, query-abundance) posting
+// arrays: out_gid gets the posting genomes row by row, out_ab repeats
+// each row's query abundance across its postings.  Caller sizes the
+// outputs to sum(row lengths).
+void postings_expand_i32(const int64_t* rows, int64_t nr,
+                         const int64_t* starts, const int32_t* gids,
+                         const uint16_t* ab, int32_t* out_gid,
+                         uint16_t* out_ab) {
+    // per-row output offsets (serial prefix sum, then parallel fill)
+    int64_t* off = new int64_t[nr + 1];
+    off[0] = 0;
+    for (int64_t i = 0; i < nr; i++)
+        off[i + 1] = off[i] + (starts[rows[i] + 1] - starts[rows[i]]);
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t i = 0; i < nr; i++) {
+        int64_t r = rows[i];
+        int64_t len = starts[r + 1] - starts[r];
+        memcpy(out_gid + off[i], gids + starts[r],
+               (size_t)len * sizeof(int32_t));
+        if (ab && out_ab) {
+            uint16_t a = ab[i];
+            for (int64_t j = 0; j < len; j++) out_ab[off[i] + j] = a;
+        }
+    }
+    delete[] off;
+}
+
+// Per-genome profile statistics over unordered matched (genome,
+// abundance) postings — the reference's per-genome sorted-array walk
+// (command_composite.c:596-624) fused into one grouped pass: counting
+// sort by genome, per-genome value sort, then the stats on the
+// reference's 1-based layout s1[0]=count, s1[1..n]=sorted values
+// (including its quirks: median = s1[n/2] which is the COUNT when
+// n == 1, and the [n*st, n*ed] percentile window starting at s1[0]
+// for tiny n).  Float divisions stay with the Python caller so f32
+// rounding matches the reference bit-for-bit.
+void postings_group_stats(
+    const int32_t* gids, const uint16_t* ab, int64_t n, int64_t nref,
+    double st_pctl, double ed_pctl, int64_t* count, int64_t* sum,
+    int64_t* lastsum, int64_t* lastn, int64_t* median, int64_t* maxv) {
+    memset(count, 0, (size_t)nref * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) count[gids[i]]++;
+    int64_t* off = new int64_t[nref + 1];
+    off[0] = 0;
+    for (int64_t g = 0; g < nref; g++) off[g + 1] = off[g] + count[g];
+    uint16_t* grouped = new uint16_t[n];
+    int64_t* cur = new int64_t[nref];
+    memcpy(cur, off, (size_t)nref * sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) grouped[cur[gids[i]]++] = ab[i];
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t g = 0; g < nref; g++) {
+        int64_t cnt = count[g];
+        sum[g] = lastsum[g] = lastn[g] = median[g] = maxv[g] = 0;
+        if (!cnt) continue;
+        uint16_t* v = grouped + off[g];
+        std::sort(v, v + cnt);
+        int64_t s = 0;
+        for (int64_t i = 0; i < cnt; i++) s += v[i];
+        sum[g] = s;
+        // s1[i]: s1[0] = cnt, s1[i>=1] = v[i-1]
+        int64_t m = cnt / 2;
+        median[g] = m == 0 ? cnt : v[m - 1];
+        maxv[g] = v[cnt - 1];
+        int64_t ls = 0, ln = 0;
+        for (int64_t i = (int64_t)(cnt * st_pctl);
+             (double)i <= cnt * ed_pctl; i++) {
+            ls += i == 0 ? cnt : v[i - 1];
+            ln++;
+        }
+        lastsum[g] = ls;
+        lastn[g] = ln;
+    }
+    delete[] cur;
+    delete[] grouped;
+    delete[] off;
+}
+
+}  // extern "C"
