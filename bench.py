@@ -263,7 +263,11 @@ def _worker_abv(backend: str) -> dict:
         t0 = time.time()
         composite.abv_search(dbdir, qpaths, mode=2, out=devnull)
         res["abv_queries_per_s"] = len(qpaths) / (time.time() - t0)
-        # batched dense MXU path: all queries in one dispatch
+        # batched dense MXU path: all queries in one dispatch (warm:
+        # the dense DB matrix is staged once per index, like a serving
+        # process would)
+        composite.abv_search_dense(dbdir, qpaths[:2], mode=2,
+                                   out=devnull)
         t0 = time.time()
         composite.abv_search_dense(dbdir, qpaths, mode=2, out=devnull)
         res["abv_dense_queries_per_s"] = len(qpaths) / (time.time() - t0)

@@ -457,9 +457,9 @@ class DenseAbv:
     def from_index(cls, idx: AbvIndex, nspecies: int) -> "DenseAbv":
         m = np.zeros((len(idx.names), nspecies), dtype=np.float32)
         starts = np.concatenate([[0], idx.abmi]).astype(np.int64)
-        for d in range(nspecies):
-            lo, hi = int(starts[d]), int(starts[d + 1])
-            m[idx.abm_idx[lo:hi], d] = idx.abm_pct[lo:hi]
+        dims = np.repeat(np.arange(nspecies, dtype=np.int64),
+                         np.diff(starts))
+        m[idx.abm_idx, dims] = idx.abm_pct
         return cls(idx.names, jnp.asarray(m),
                    jnp.asarray(idx.y_l2n.astype(np.float32)))
 
@@ -545,11 +545,22 @@ def abv_search_dense(refdir: str, queries: list[str], mode: int = 0,
     return _abv_search_dense_impl(refdir, queries, mode, out)
 
 
+_DENSE_CACHE: dict = {}
+
+
 def _abv_search_dense_impl(refdir: str, queries: list[str], mode: int,
                            out) -> None:
-    idx = AbvIndex.read(refdir)
-    nspecies = int(idx.abmi.size)
-    dense = DenseAbv.from_index(idx, nspecies)
+    abm = os.path.join(refdir, "abundance_Vec.abm")
+    key = (os.path.abspath(refdir),
+           os.path.getmtime(abm) if os.path.exists(abm) else 0,
+           jax.default_backend())
+    got = _DENSE_CACHE.get(key)
+    if got is None:
+        idx = AbvIndex.read(refdir)
+        nspecies = int(idx.abmi.size)
+        got = (idx, nspecies, DenseAbv.from_index(idx, nspecies))
+        _DENSE_CACHE[key] = got
+    idx, nspecies, dense = got
 
     qmat = []
     qnames = []
@@ -568,6 +579,13 @@ def _abv_search_dense_impl(refdir: str, queries: list[str], mode: int,
         return
     measure, overlap = abv_search_batch(dense, np.stack(qmat), mode=mode)
     hdr = {0: "CosineXY", 1: "L1norm", 2: "L2norm"}[mode]
+    from metakssd_tpu.io import native as native_io
+    names_blob = names_off = None
+    if native_io.available():
+        enc = [n.encode() for n in idx.names]
+        names_off = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in enc], out=names_off[1:])
+        names_blob = b"".join(enc)
     for b in range(len(qnames)):
         ids = np.nonzero(overlap[b])[0]
         vals = measure[b, ids]
@@ -575,8 +593,16 @@ def _abv_search_dense_impl(refdir: str, queries: list[str], mode: int,
         if mode == 0:
             order = order[::-1]
         out.write(f"#Sample\t{hdr}\n")
-        for j in order:
-            out.write(f"{idx.names[ids[j]]}\t{vals[j]:f}\n")
+        buf = None
+        if names_blob is not None:
+            buf = native_io.format_name_float_lines(
+                names_blob, names_off, ids[order],
+                vals[order].astype(np.float64))
+        if buf is not None:
+            out.write(buf.decode())
+        else:
+            for j in order:
+                out.write(f"{idx.names[ids[j]]}\t{vals[j]:f}\n")
 
 
 def abv_search_batch(dense: DenseAbv, queries: np.ndarray, mode: int = 0
