@@ -304,13 +304,21 @@ def _backend_policy() -> str:
     mode = os.environ.get("MKSSD_BACKEND", "auto")
     if mode in ("tpu", "cpu"):
         return mode
+    # The tunnel plugin registers under the 'axon' backend name but its
+    # devices self-report platform 'tpu' — check the platform config
+    # (cheap, no backend init) and the registered backend names, not
+    # the device.
     try:
-        platform = jax.devices()[0].platform
+        plats = (jax.config.jax_platforms or "").split(",")
+        if "axon" in plats:
+            return "cpu"
+        from jax._src import xla_bridge
+        names = set(xla_bridge.backends().keys())
     except Exception:
-        platform = "cpu"
+        names = set()
     # 'axon' = remote tunnel; anything else (real tpu, or XLA-on-CPU in
     # tests) keeps the device path
-    return "cpu" if platform == "axon" else "tpu"
+    return "cpu" if "axon" in names else "tpu"
 
 
 def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
