@@ -87,6 +87,147 @@ void translate_append(std::vector<uint8_t>& out, const char* s, size_t n) {
         out[base + i] = kLut.m[(uint8_t)s[i]];
 }
 
+// ---------------------------------------------------------------------
+// Chunked zero-copy fastq scanner: records are located with memchr in a
+// large refillable buffer and translated to codes in one OpenMP pass —
+// no per-line std::string copies.  Record semantics match the LineReader
+// path exactly (4 newline-delimited lines per record; a record with a
+// sequence line but truncated +/quality lines is still emitted; the
+// quality mask applies only when qual length == seq length; trailing \r
+// stripped; EOF mid-header or mid-sequence drops the partial record).
+// ---------------------------------------------------------------------
+
+struct FqRec {
+    size_t seq_off;
+    size_t q_off;
+    int32_t slen;
+    int32_t qlen;   // -1 = no quality line
+};
+
+class FqChunker {
+  public:
+    explicit FqChunker(const char* path)
+        : f_(gzopen(path, "rb")), buf_(16 << 20) {}
+    ~FqChunker() { if (f_) gzclose(f_); }
+    bool ok() const { return f_ != nullptr; }
+
+    enum ScanStatus { NEED_MORE, BATCH_FULL, AT_EOF };
+
+    // Append complete records available in the buffer until ~max_bases
+    // sequence bytes have been collected.  Offsets stay valid until the
+    // next refill().
+    ScanStatus scan(int64_t max_bases, std::vector<FqRec>& recs,
+                    int64_t* bases) {
+        for (;;) {
+            if (*bases >= max_bases) return BATCH_FULL;
+            size_t save = pos_;
+            size_t off[4], n[4];
+            bool have[4] = {false, false, false, false};
+            int got = 0;
+            for (int i = 0; i < 4; i++) {
+                int r = line(&off[i], &n[i]);
+                if (r == 0) break;          // EOF: no more lines
+                if (r < 0) {                // line spans buffer end
+                    pos_ = save;
+                    return NEED_MORE;
+                }
+                have[i] = true;
+                got = i + 1;
+            }
+            if (got < 2) {
+                if (eof_) return AT_EOF;     // drop partial record
+                pos_ = save;
+                return NEED_MORE;
+            }
+            (void)have;
+            FqRec rec;
+            rec.seq_off = off[1];
+            rec.slen = (int32_t)n[1];
+            rec.q_off = got >= 4 ? off[3] : 0;
+            rec.qlen = got >= 4 ? (int32_t)n[3] : -1;
+            recs.push_back(rec);
+            *bases += rec.slen + 1;
+        }
+    }
+
+    // Compact + read more.  Returns false at EOF with nothing added.
+    bool refill() {
+        if (pos_ > 0) {
+            memmove(buf_.data(), buf_.data() + pos_, len_ - pos_);
+            len_ -= pos_;
+            pos_ = 0;
+        }
+        if (len_ == buf_.size()) buf_.resize(buf_.size() * 2);
+        int nread = gzread(f_, buf_.data() + len_,
+                           (unsigned)(buf_.size() - len_));
+        if (nread <= 0) { eof_ = true; return false; }
+        len_ += (size_t)nread;
+        return true;
+    }
+
+    const char* data() const { return buf_.data(); }
+    bool at_eof() const { return eof_ && pos_ >= len_; }
+
+  private:
+    // 1 = line at [*off, *off+*n), cursor advanced; 0 = EOF, no bytes;
+    // -1 = incomplete line (needs refill unless eof_, in which case the
+    // tail IS the line).
+    int line(size_t* off, size_t* n) {
+        if (pos_ >= len_) return eof_ ? 0 : -1;
+        const char* nl = (const char*)memchr(buf_.data() + pos_, '\n',
+                                             len_ - pos_);
+        if (!nl) {
+            if (!eof_) return -1;
+            *off = pos_;
+            *n = len_ - pos_;
+            pos_ = len_;
+        } else {
+            *off = pos_;
+            *n = (size_t)(nl - (buf_.data() + pos_));
+            pos_ = *off + *n + 1;
+        }
+        if (*n && buf_[*off + *n - 1] == '\r') (*n)--;
+        return 1;
+    }
+
+    gzFile f_;
+    std::vector<char> buf_;
+    size_t len_ = 0, pos_ = 0;
+    bool eof_ = false;
+};
+
+// Translate a scanned record batch into the codes/starts arrays in one
+// parallel pass (the LUT map is the parse hot loop at ~0.5 GB/s/thread).
+void translate_batch(const char* buf, const std::vector<FqRec>& recs,
+                     int min_qual, std::vector<uint8_t>& codes,
+                     std::vector<int64_t>& starts) {
+    size_t nrec = recs.size();
+    if (!nrec) return;
+    size_t base = codes.size();
+    std::vector<int64_t> dst(nrec + 1);
+    dst[0] = (int64_t)base;
+    for (size_t i = 0; i < nrec; i++) {
+        starts.push_back(dst[i]);
+        dst[i + 1] = dst[i] + recs[i].slen + 1;
+    }
+    codes.resize((size_t)dst[nrec]);
+    uint8_t* out = codes.data();
+#pragma omp parallel for schedule(static)
+    for (size_t i = 0; i < nrec; i++) {
+        const FqRec& r = recs[i];
+        uint8_t* o = out + dst[i];
+        const char* s = buf + r.seq_off;
+        for (int32_t j = 0; j < r.slen; j++)
+            o[j] = kLut.m[(uint8_t)s[j]];
+        if (min_qual > 0 && r.qlen == r.slen) {
+            const char* q = buf + r.q_off;
+            for (int32_t j = 0; j < r.slen; j++)
+                if ((uint8_t)q[j] < (uint8_t)min_qual) o[j] = RESET;
+        }
+        o[r.slen] = RESET;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -111,29 +252,27 @@ void* fastseq_parse_fasta(const char* path) {
 }
 
 void* fastseq_parse_fastq(const char* path, int min_qual) {
-    LineReader r(path);
-    if (!r.ok()) return nullptr;
+    FqChunker c(path);
+    if (!c.ok()) return nullptr;
     auto* res = new ParseResult();
-    size_t n;
-    std::string seq;
+    std::vector<FqRec> recs;
+    int64_t bases = 0;
     for (;;) {
-        const char* h = r.next(&n);          // @header
-        if (!h) break;
-        const char* s = r.next(&n);          // sequence
-        if (!s) break;
-        seq.assign(s, n);
-        size_t slen = n;
-        r.next(&n);                          // +
-        const char* q = r.next(&n);          // quality
-        res->starts.push_back((int64_t)res->codes.size());
-        size_t base = res->codes.size();
-        translate_append(res->codes, seq.data(), slen);
-        if (min_qual > 0 && q && n == slen) {
-            for (size_t i = 0; i < slen; i++)
-                if ((uint8_t)q[i] < (uint8_t)min_qual)
-                    res->codes[base + i] = RESET;
+        recs.clear();
+        FqChunker::ScanStatus st =
+            c.scan(INT64_MAX, recs, &bases);
+        // translate before refill() — offsets die on compaction
+        translate_batch(c.data(), recs, min_qual, res->codes,
+                        res->starts);
+        if (st == FqChunker::AT_EOF) break;
+        if (st == FqChunker::NEED_MORE && !c.refill()) {
+            // EOF hit: one final scan consumes the newline-less tail
+            recs.clear();
+            c.scan(INT64_MAX, recs, &bases);
+            translate_batch(c.data(), recs, min_qual, res->codes,
+                            res->starts);
+            break;
         }
-        res->codes.push_back(RESET);         // record separator
     }
     // sentinel: total length (read i spans starts[i]..starts[i+1])
     res->starts.push_back((int64_t)res->codes.size());
@@ -147,16 +286,17 @@ void* fastseq_parse_fastq(const char* path, int min_qual) {
 // ---------------------------------------------------------------------
 
 struct FqStream {
-    LineReader reader;
+    FqChunker chunker;
     int min_qual;
+    bool done = false;
     ParseResult batch;             // reused per batch
     explicit FqStream(const char* path, int q)
-        : reader(path), min_qual(q) {}
+        : chunker(path), min_qual(q) {}
 };
 
 void* fastseq_stream_open(const char* path, int min_qual) {
     auto* s = new FqStream(path, min_qual);
-    if (!s->reader.ok()) { delete s; return nullptr; }
+    if (!s->chunker.ok()) { delete s; return nullptr; }
     return s;
 }
 
@@ -166,26 +306,25 @@ int64_t fastseq_stream_next(void* h, int64_t max_bases) {
     auto* s = (FqStream*)h;
     s->batch.codes.clear();
     s->batch.starts.clear();
-    size_t n;
-    std::string seq;
-    while ((int64_t)s->batch.codes.size() < max_bases) {
-        const char* hd = s->reader.next(&n);
-        if (!hd) break;
-        const char* sq = s->reader.next(&n);
-        if (!sq) break;
-        seq.assign(sq, n);
-        size_t slen = n;
-        s->reader.next(&n);                      // +
-        const char* q = s->reader.next(&n);      // quality
-        s->batch.starts.push_back((int64_t)s->batch.codes.size());
-        size_t base = s->batch.codes.size();
-        translate_append(s->batch.codes, seq.data(), slen);
-        if (s->min_qual > 0 && q && n == slen) {
-            for (size_t i = 0; i < slen; i++)
-                if ((uint8_t)q[i] < (uint8_t)s->min_qual)
-                    s->batch.codes[base + i] = RESET;
+    std::vector<FqRec> recs;
+    int64_t bases = 0;
+    while (!s->done) {
+        recs.clear();
+        FqChunker::ScanStatus st =
+            s->chunker.scan(max_bases, recs, &bases);
+        // translate before refill() — offsets die on compaction
+        translate_batch(s->chunker.data(), recs, s->min_qual,
+                        s->batch.codes, s->batch.starts);
+        if (st == FqChunker::BATCH_FULL) break;
+        if (st == FqChunker::AT_EOF) { s->done = true; break; }
+        if (!s->chunker.refill()) {
+            recs.clear();
+            s->chunker.scan(max_bases, recs, &bases);
+            translate_batch(s->chunker.data(), recs, s->min_qual,
+                            s->batch.codes, s->batch.starts);
+            s->done = true;
+            break;
         }
-        s->batch.codes.push_back(RESET);
     }
     int64_t nreads = (int64_t)s->batch.starts.size();
     s->batch.starts.push_back((int64_t)s->batch.codes.size());
