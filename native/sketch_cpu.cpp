@@ -31,7 +31,16 @@ struct SketchCfg {
     const uint32_t* pfilters;      // aligned with accept_tups
     int64_t n_accept;
     const uint32_t* bitmask;       // 16^subk bits
+    const uint32_t* premask;       // PRE_BITS-bit L1-resident pre-filter
 };
+
+// First-level accept pre-filter: dim folded into a 256 Kbit (32 KiB)
+// bitmask that stays L1/L2-resident.  Built from the accept table with
+// zero false negatives; false-positive windows (~n_accept/PRE_BITS)
+// fall through to the full 16^subk-bit mask.  The full-mask probe is a
+// dependent random load into a 2 MiB table — the measured bottleneck of
+// the rolling loop (170 vs 749 Mwin/s without it on this host).
+constexpr uint32_t PRE_BITS = 1u << 18;
 
 // lower_bound over the accept table (branch-free-ish; n_accept is small
 // and cache-hot).
@@ -65,6 +74,34 @@ static void sketch_chunk(const uint8_t* codes, int64_t size, int64_t start,
     uint64_t fwd = 0, rc = 0;
     int vlen = 0;
     int64_t stop = end + TL - 1 < size ? end + TL - 1 : size;
+
+    // Two-pass blocks: pass 1 runs the (serial-dependency) rolling
+    // window recurrence and buffers canonical windows; pass 2 probes
+    // the accept masks over the buffer — independent loads the core can
+    // keep in flight, instead of one dependent L2 miss per window.
+    constexpr int B = 256;
+    uint64_t buf[B];
+    int nb = 0;
+
+    auto flush = [&]() {
+        for (int j = 0; j < nb; j++) {
+            uint64_t uni = buf[j];
+            uint32_t dim = (uint32_t)(uni >> (2 * outctx)) & dim_mask;
+            uint32_t fold = dim & (PRE_BITS - 1);
+            if (!((c.premask[fold >> 5] >> (fold & 31)) & 1)) continue;
+            if (!((c.bitmask[dim >> 5] >> (dim & 31)) & 1)) continue;
+            int64_t pos = lower_bound_u32(c.accept_tups, c.n_accept,
+                                          dim);
+            uint64_t dr =
+                (((uni & undomask)
+                  + ((uni & outer_mask) << (4 * c.k - 4 * outctx)))
+                 >> (4 * c.drlevel))
+                + c.pfilters[pos];
+            out.push_back(dr);
+        }
+        nb = 0;
+    };
+
     for (int64_t i = start; i < stop; i++) {
         uint8_t b = codes[i];
         if (b > 3) { vlen = 0; continue; }
@@ -72,16 +109,10 @@ static void sketch_chunk(const uint8_t* codes, int64_t size, int64_t start,
         rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
         if (++vlen < TL) continue;
         if (i - (TL - 1) >= end) break;   // window belongs to next chunk
-        uint64_t uni = fwd < rc ? fwd : rc;
-        uint32_t dim = (uint32_t)(uni >> (2 * outctx)) & dim_mask;
-        if (!((c.bitmask[dim >> 5] >> (dim & 31)) & 1)) continue;
-        int64_t pos = lower_bound_u32(c.accept_tups, c.n_accept, dim);
-        uint64_t dr = (((uni & undomask)
-                        + ((uni & outer_mask) << (4 * c.k - 4 * outctx)))
-                       >> (4 * c.drlevel))
-                      + c.pfilters[pos];
-        out.push_back(dr);
+        buf[nb++] = fwd < rc ? fwd : rc;
+        if (nb == B) flush();
     }
+    flush();
 }
 
 }  // namespace
@@ -95,8 +126,13 @@ int64_t sketch_cpu_run(const uint8_t* codes, int64_t size, int k, int subk,
                        const uint32_t* pfilters, int64_t n_accept,
                        const uint32_t* bitmask, int nthreads,
                        uint64_t** out_ptr) {
+    std::vector<uint32_t> premask(PRE_BITS / 32, 0);
+    for (int64_t t = 0; t < n_accept; t++) {
+        uint32_t fold = accept_tups[t] & (PRE_BITS - 1);
+        premask[fold >> 5] |= 1u << (fold & 31);
+    }
     SketchCfg cfg{k, subk, drlevel, accept_tups, pfilters, n_accept,
-                  bitmask};
+                  bitmask, premask.data()};
     const int TL = 2 * k;
     if (size < TL) { *out_ptr = nullptr; return 0; }
 
