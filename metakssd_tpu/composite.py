@@ -182,9 +182,10 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
     """Profile query metagenome sketches against a MarkerDB
     (reference get_species_abundance, command_composite.c:446-649).
 
-    shard_db > 1 shards the MarkerDB's distinct k-mer space over that
-    many devices (db mesh axis) — for MarkerDBs larger than one HBM;
-    output stays byte-identical to the serial path."""
+    shard_db >= 1 shards the MarkerDB's distinct k-mer space over that
+    many devices (db mesh axis) — for MarkerDBs larger than one HBM
+    (1 = single device, postings staged device-resident); output stays
+    byte-identical to the serial path."""
     import sys
     out = out or sys.stdout
     ref = CoDir.read(refdir, want_abund=False)
@@ -198,7 +199,7 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
     nref = ref.stat.infile_num
     # per-component match index (staged once per MarkerDB, then reused)
     comp_idx = stage_markerdb(refdir, ref)
-    if shard_db > 1:
+    if shard_db >= 1:
         from metakssd_tpu.parallel import mesh as pmesh
         m = pmesh.make_mesh(n_data=1, n_db=shard_db)
         comp_idx = [

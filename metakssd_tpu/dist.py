@@ -276,7 +276,10 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
     """Full search pipeline: counts + stats + distance.out
     (reference mco_cbdco_nobin_dist + dist_print_nobin).
 
-    shard_db > 1 shards the reference postings over that many devices
+    shard_db >= 1 shards the reference postings over that many devices
+    (1 = single-device: postings staged device-resident, counts via an
+    on-device segment-sum — the colocated-TPU path for >100M-posting
+    DBs; the reference's host analogue is command_dist.c:1022-1057)
     (db mesh axis) — for reference databases larger than one HBM.
     max_mem_gb > 0 bounds host RAM: a qry x ref matrix larger than that
     is accumulated directly into the memory-mapped sharedk_ct.dat
@@ -295,7 +298,7 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
         matrix = load_sharedk(opts.shared_kmerpath, qry.stat.infile_num,
                               len(ref_names))
     else:
-        if shard_db > 1 and not is_mco:
+        if shard_db >= 1 and not is_mco:
             from metakssd_tpu.parallel import mesh as pmesh
             m = pmesh.make_mesh(n_data=1, n_db=shard_db)
             matrix = pmesh.sharded_shared_counts(ref_path, qry, m)

@@ -38,6 +38,9 @@ def test_sharded_counts_match_serial(tmp_path):
     sharded = pmesh.sharded_shared_counts(co_ref, co_qry, m)
     np.testing.assert_array_equal(serial, sharded)
     assert serial.max() > 0
+    m1 = pmesh.make_mesh(n_data=1, n_db=1)
+    one = pmesh.sharded_shared_counts(co_ref, co_qry, m1)
+    np.testing.assert_array_equal(serial, one)
 
     # per-read fastq sketches carry duplicate k-mers; both paths must
     # count once per query *occurrence* (reference command_dist.c:1044-1049)
@@ -80,11 +83,15 @@ def test_sharded_composite_profile_identical(tmp_path):
     qco = str(tmp_path / "qco")
     cli.main(["dist", "-L", shufp, "-A", "-o", qco, fq])
 
-    serial, sharded = io.StringIO(), io.StringIO()
+    serial, sharded, one = io.StringIO(), io.StringIO(), io.StringIO()
     composite.get_species_abundance(db, qco, out=serial)
     composite.get_species_abundance(db, qco, out=sharded, shard_db=8)
     assert serial.getvalue() == sharded.getvalue()
     assert serial.getvalue().count("\n") >= 1
+    # shard_db=1: single-device staging, on-device segment-sum counts —
+    # the colocated-TPU deployment shape for DBs that fit one HBM
+    composite.get_species_abundance(db, qco, out=one, shard_db=1)
+    assert one.getvalue() == serial.getvalue()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
