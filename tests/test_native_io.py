@@ -104,3 +104,34 @@ def test_streaming_fastq_sketch_identical(tmp_path, monkeypatch):
             np.testing.assert_array_equal(whole[c][0], streamed[c][0])
             if whole[c][1] is not None:
                 np.testing.assert_array_equal(whole[c][1], streamed[c][1])
+
+
+@needs_native
+def test_stream_gz_matches_plain_and_whole(tmp_path):
+    """Chunked streaming over gz and plain input yields identical codes,
+    matching the whole-file parse, including the quality-filter path and
+    records with N bases / variable lengths."""
+    import gzip
+    rng = np.random.default_rng(5)
+    fq = str(tmp_path / "x.fq")
+    fqgz = fq + ".gz"
+    recs = []
+    for i in range(2000):
+        n = int(rng.integers(50, 150))
+        s = "".join("ACGTN"[b] for b in rng.integers(0, 5, n))
+        q = "".join(chr(int(c)) for c in rng.integers(33, 74, n))
+        recs.append(f"@r{i} hdr\n{s}\n+\n{q}\n")
+    data = "".join(recs)
+    with open(fq, "w") as f:
+        f.write(data)
+    with gzip.open(fqgz, "wt") as f:
+        f.write(data)
+
+    def collect(path, q=0):
+        cs = [c.copy() for c, _ in native.stream_fastq(path, q, 20000)]
+        return np.concatenate(cs)
+
+    plain, gz = collect(fq), collect(fqgz)
+    np.testing.assert_array_equal(plain, gz)
+    np.testing.assert_array_equal(plain, native.parse_fastq(fq)[0])
+    np.testing.assert_array_equal(collect(fq, 60), collect(fqgz, 60))
