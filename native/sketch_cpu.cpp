@@ -34,13 +34,16 @@ struct SketchCfg {
     const uint32_t* premask;       // PRE_BITS-bit L1-resident pre-filter
 };
 
-// First-level accept pre-filter: dim folded into a 256 Kbit (32 KiB)
-// bitmask that stays L1/L2-resident.  Built from the accept table with
-// zero false negatives; false-positive windows (~n_accept/PRE_BITS)
-// fall through to the full 16^subk-bit mask.  The full-mask probe is a
-// dependent random load into a 2 MiB table — the measured bottleneck of
-// the rolling loop (170 vs 749 Mwin/s without it on this host).
-constexpr uint32_t PRE_BITS = 1u << 18;
+// First-level accept pre-filter: dim folded into a 1 Mbit (128 KiB)
+// L2-resident bitmask.  Built from the accept table with zero false
+// negatives; false-positive windows (~n_accept/PRE_BITS = 0.4% at the
+// default 4096 accepts) fall through to the full 16^subk-bit mask.
+// The full-mask probe is a dependent random load into a 2 MiB table —
+// the measured bottleneck of the rolling loop (170 vs 749 Mwin/s with
+// the probe removed); the expensive second probe dominates the
+// pre-mask's own cache footprint, so larger pre-masks win up to 128 KiB
+// (measured 349/444/519 Mprobe/s at 8/32/128 KiB on this host).
+constexpr uint32_t PRE_BITS = 1u << 20;
 
 // lower_bound over the accept table (branch-free-ish; n_accept is small
 // and cache-hot).
