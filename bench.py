@@ -284,10 +284,14 @@ def _worker_abv(backend: str) -> dict:
     binpath = _oracle_bin()
     if binpath:
         t0 = time.time()
+        # cwd=abvdir: the reference opens query .abv files relative to
+        # its working directory; also require real output so a silent
+        # open failure can't record a bogus fast baseline.
         r = subprocess.run([binpath, "composite", "-r", dbdir, "-s", "2"]
-                           + qnames, capture_output=True)
-        if r.returncode == 0:
-            res["abv_ref_queries_per_s"] = len(qnames) / (time.time() - t0)
+                           + qnames, capture_output=True, cwd=abvdir)
+        dt = time.time() - t0
+        if r.returncode == 0 and len(r.stdout.splitlines()) >= len(qnames):
+            res["abv_ref_queries_per_s"] = len(qnames) / dt
     res["abv_queries_per_s"] = max(res["abv_queries_per_s"],
                                    res["abv_dense_queries_per_s"])
     return res

@@ -161,14 +161,16 @@ def parse_fastq(path: str, min_qual: int = 0):
 
 
 def stream_fastq(path: str, min_qual: int = 0,
-                 max_bases: int = 64 << 20):
+                 max_bases: int = 64 << 20, copy: bool = True):
     """Generator of (codes uint8, read_starts int64) batches, bounded to
     ~max_bases host bytes per batch (reads never split across batches).
 
-    The yielded arrays are ZERO-COPY views of the parser's internal
-    batch buffer: valid only until the next iteration (copy to retain).
-    Fresh per-batch allocations are avoided on purpose — on this host
-    first-touch page faults run ~0.1 GB/s, dwarfing the parse itself.
+    With copy=False the yielded arrays are ZERO-COPY read-only views of
+    the parser's internal batch buffer: valid only until the next
+    iteration.  Fresh per-batch allocations are avoided in the hot
+    pipeline on purpose — on this host first-touch page faults run
+    ~0.1 GB/s, dwarfing the parse itself.  Default copy=True is the safe
+    retainable behavior for other callers.
 
     Raises OSError on open failure; callers check available() first."""
     lib = _load()
@@ -187,7 +189,12 @@ def stream_fastq(path: str, min_qual: int = 0,
                 lib.fastseq_stream_codes_ptr(h), shape=(n,))
             starts = np.ctypeslib.as_array(
                 lib.fastseq_stream_starts_ptr(h), shape=(nreads + 1,))
-            yield codes, starts
+            if copy:
+                yield codes.copy(), starts.copy()
+            else:
+                codes.flags.writeable = False
+                starts.flags.writeable = False
+                yield codes, starts
     finally:
         lib.fastseq_stream_close(h)
 

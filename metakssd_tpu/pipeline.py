@@ -127,7 +127,7 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
             parts = [z["dr"].astype(np.uint64)]
     i = 0
     for codes, _ in native.stream_fastq(path, min_qual,
-                                        STREAM_BATCH_BASES):
+                                        STREAM_BATCH_BASES, copy=False):
         if i >= done:
             parts.append(sketch_xla.sketch_codes(codes, shuf,
                                                  accept=accept))
@@ -284,9 +284,20 @@ def _file_ckpt_path(ckpt_dir: str, i: int) -> str:
     return os.path.join(ckpt_dir, f"file{i}.npz")
 
 
-def _save_file_ckpt(fp: str, path: str, sets) -> None:
+def _file_ckpt_params(path: str, shuf: DimShuffle,
+                      opts: "SketchOptions") -> str:
+    # Everything that changes the sketch of `path` must key the ckpt
+    # (mirrors _ckpt_key for the streaming variant): re-running into
+    # the same out_dir with different parameters must re-sketch.
+    return "|".join(str(x) for x in (
+        os.path.abspath(path), shuf.params.shuf_id, opts.abundance,
+        opts.dedup, opts.min_occ, opts.min_qual, opts.byread))
+
+
+def _save_file_ckpt(fp: str, path: str, sets, params: str) -> None:
     st = os.stat(path)
     payload = {"size": np.int64(st.st_size), "mtime": np.float64(st.st_mtime),
+               "params": np.array(params),
                "ncomp": np.int64(len(sets))}
     for c, (ids, ab) in enumerate(sets):
         payload[f"ids_{c}"] = np.asarray(ids, dtype=np.uint32)
@@ -297,14 +308,15 @@ def _save_file_ckpt(fp: str, path: str, sets) -> None:
     os.replace(tmp, fp)
 
 
-def _load_file_ckpt(fp: str, path: str):
+def _load_file_ckpt(fp: str, path: str, params: str):
     if not os.path.exists(fp):
         return None
     try:
         z = np.load(fp, allow_pickle=False)
         st = os.stat(path)
         if int(z["size"]) != st.st_size or \
-                float(z["mtime"]) != st.st_mtime:
+                float(z["mtime"]) != st.st_mtime or \
+                "params" not in z.files or str(z["params"]) != params:
             return None
         return [(z[f"ids_{c}"],
                  z[f"ab_{c}"] if f"ab_{c}" in z.files else None)
@@ -350,7 +362,8 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                 todo = []
                 for i, path in enumerate(inputs):
                     got = _load_file_ckpt(_file_ckpt_path(ckpt_dir, i),
-                                          path)
+                                          path,
+                                          _file_ckpt_params(path, shuf, opts))
                     if got is not None:
                         per_genome[i] = got
                     else:
@@ -364,14 +377,17 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                     per_genome[i] = sets
                     if ckpt_dir:
                         _save_file_ckpt(_file_ckpt_path(ckpt_dir, i),
-                                        inputs[i], sets)
+                                        inputs[i], sets,
+                                        _file_ckpt_params(inputs[i], shuf,
+                                                          opts))
         else:
             per_genome = []
             for i, path in enumerate(inputs):
                 got = None
                 if ckpt_dir:
                     got = _load_file_ckpt(_file_ckpt_path(ckpt_dir, i),
-                                          path)
+                                          path,
+                                          _file_ckpt_params(path, shuf, opts))
                 if got is None:
                     sck = (os.path.join(ckpt_dir, f"stream{i}.ckpt")
                            if ckpt_dir else None)
@@ -379,7 +395,8 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
                                       ckpt_file=sck)
                     if ckpt_dir:
                         _save_file_ckpt(_file_ckpt_path(ckpt_dir, i),
-                                        path, got)
+                                        path, got,
+                                        _file_ckpt_params(path, shuf, opts))
                 per_genome.append(got)
 
     ctx_ct = np.array(

@@ -397,7 +397,9 @@ int64_t format_name_float_lines(const char* names_blob,
         p += len;
         *p++ = '\t';
         int w = snprintf(p, (size_t)(end - p), "%f\n", vals[i]);
-        if (w < 0 || p + w > end) return -1;
+        // w == end-p means snprintf truncated (NUL overwrote the last
+        // byte), so treat exactly-full as overflow too.
+        if (w < 0 || w >= end - p) return -1;
         p += w;
     }
     return p - out;

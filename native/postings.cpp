@@ -95,7 +95,15 @@ void postings_group_stats(
     for (int64_t g = 0; g < nref; g++) {
         int64_t cnt = count[g];
         sum[g] = lastsum[g] = lastn[g] = median[g] = maxv[g] = 0;
-        if (!cnt) continue;
+        if (!cnt) {
+            // Match the reference's quirk loop at cnt==0: the percentile
+            // loop still runs its i==0 iteration and accumulates s1[0]
+            // (= cnt = 0) with lastn=1, so avg9899 prints 0.000000, not
+            // nan (command_composite.c:603-613 semantics; keeps native
+            // and Python-fallback outputs identical at --min-km-s 0).
+            lastn[g] = 1;
+            continue;
+        }
         uint16_t* v = grouped + off[g];
         std::sort(v, v + cnt);
         int64_t s = 0;

@@ -84,14 +84,24 @@ def test_stage1_ckpt_invalidated_on_change(tmp_path, shuf, monkeypatch):
     sets = pipeline.sketch_file(paths[0], shuf,
                                 pipeline.SketchOptions())
     fp = pipeline._file_ckpt_path(ckdir, 0)
-    pipeline._save_file_ckpt(fp, paths[0], sets)
-    got = pipeline._load_file_ckpt(fp, paths[0])
+    opts = pipeline.SketchOptions()
+    params = pipeline._file_ckpt_params(paths[0], shuf, opts)
+    pipeline._save_file_ckpt(fp, paths[0], sets, params)
+    got = pipeline._load_file_ckpt(fp, paths[0], params)
     assert got is not None
     np.testing.assert_array_equal(got[0][0], sets[0][0])
+    # different sketch parameters -> stale checkpoint rejected
+    # (ADVICE r2: re-running with changed mode/quality must re-sketch)
+    for other in (pipeline.SketchOptions(abundance=True),
+                  pipeline.SketchOptions(min_qual=20),
+                  pipeline.SketchOptions(min_occ=2),
+                  pipeline.SketchOptions(dedup=True)):
+        p2 = pipeline._file_ckpt_params(paths[0], shuf, other)
+        assert pipeline._load_file_ckpt(fp, paths[0], p2) is None
     # touch the input -> stale checkpoint rejected
     with open(paths[0], "a") as f:
         f.write(">x\nACGTACGTACGT\n")
-    assert pipeline._load_file_ckpt(fp, paths[0]) is None
+    assert pipeline._load_file_ckpt(fp, paths[0], params) is None
     del out
 
 
