@@ -107,27 +107,24 @@ def _bench_reference(fq: str, shufp: str) -> float:
 # --------------------------------------------------------------------------
 
 def _worker_sketch(fq: str, shufp: str, backend: str) -> float:
+    """Time the REAL product path (pipeline.run_stage1: stream-parse ->
+    sketch -> unique/count -> write combco artifacts), matching what the
+    reference binary's timed `dist -L -A -o` run produces."""
     os.environ["MKSSD_BACKEND"] = backend
+    import shutil
     from metakssd_tpu.formats.shuf import read_shuf
-    from metakssd_tpu.io import seqio
+    from metakssd_tpu import pipeline
     from metakssd_tpu.ops import sketch_xla
-    from metakssd_tpu.formats.costat import CoStat
-    from metakssd_tpu.formats.codir import write_codir
 
     shuf = read_shuf(shufp)
     accept = shuf.device_tables()
+    opts = pipeline.SketchOptions(abundance=True)
 
     def run_once():
         out = os.path.join(CACHE, f"mine_out_{backend}")
+        shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
-        codes, _ = seqio.fastq_to_codes(fq, min_qual=0)
-        sets = sketch_xla.sketch_to_sets(codes, shuf, mode="koc",
-                                         accept=accept)
-        p = shuf.params
-        ctx = np.array([sum(s[0].size for s in sets)], dtype=np.uint32)
-        stat = CoStat(p.shuf_id, True, 2 * p.k, 2 * p.drlevel,
-                      p.component_num, int(ctx.sum()), ctx, [fq])
-        write_codir(out, stat, [sets])
+        pipeline.run_stage1([fq], shuf, out, opts)
         return time.time() - t0
 
     if backend == "tpu":

@@ -55,9 +55,17 @@ class DimShuffle:
         return mask
 
     def device_tables(self):
-        """(accept_tups, pfilters, accept_bitmask) ready for the kernels."""
-        tups, pf = self.accept_table()
-        return tups, pf, self.accept_bitmask()
+        """(accept_tups, pfilters, accept_bitmask) ready for the kernels.
+
+        Memoized: the derivation scans the 16^subk shuffle (~60 ms at
+        subk=6), which would dominate small sketching runs if rebuilt
+        per pipeline call."""
+        cached = getattr(self, "_device_tables", None)
+        if cached is None:
+            tups, pf = self.accept_table()
+            cached = (tups, pf, self.accept_bitmask())
+            object.__setattr__(self, "_device_tables", cached)
+        return cached
 
     def reverse_array(self) -> np.ndarray:
         """pfilter -> dim_tup inverse map (reference command_reverse.c:242-250)."""

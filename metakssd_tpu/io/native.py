@@ -77,6 +77,14 @@ def _load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
     lib.sketch_cpu_free.restype = None
     lib.sketch_cpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+    lib.fastseq_sketch_file.restype = ctypes.c_int64
+    lib.fastseq_sketch_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
     lib.fastseq_stream_open.restype = ctypes.c_void_p
     lib.fastseq_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.fastseq_stream_next.restype = ctypes.c_int64
@@ -226,6 +234,47 @@ def sketch_cpu(codes: np.ndarray, shuf, accept=None,
         ctypes.c_int64(a_tups.size),
         a_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         int(nthreads), ctypes.byref(out_ptr))
+    if n == 0:
+        if out_ptr:
+            lib.sketch_cpu_free(out_ptr)
+        return np.zeros(0, dtype=np.uint64)
+    dr = _copy_out(out_ptr, n, np.uint64)
+    lib.sketch_cpu_free(out_ptr)
+    return dr.astype(np.uint64, copy=False)
+
+
+def sketch_fastq(path: str, shuf, accept=None, min_qual: int = 0,
+                 nthreads: int = 0) -> np.ndarray | None:
+    """All accepted drtuples of a fastq file (duplicates preserved,
+    unsorted) via the fused native parse+translate+sketch engine — the
+    full-size codes array never materialises and all phases share one
+    OpenMP pool (reference hot path mt_shortreads2koc,
+    iseq2comem.c:655-727).  Bit-identical to stream_fastq+sketch_cpu up
+    to ordering; None if native unavailable, OSError if path unreadable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = shuf.params
+    if accept is None:
+        accept = shuf.device_tables()
+    a_tups = np.ascontiguousarray(accept[0], dtype=np.uint32)
+    a_pf = np.ascontiguousarray(accept[1], dtype=np.uint32)
+    a_mask = np.ascontiguousarray(
+        accept[2] if len(accept) > 2 else shuf.accept_bitmask(),
+        dtype=np.uint32)
+    out_ptr = ctypes.POINTER(ctypes.c_uint64)()
+    n_reads = ctypes.c_int64()
+    n_bases = ctypes.c_int64()
+    n = lib.fastseq_sketch_file(
+        path.encode(), int(min_qual), p.k, p.subk, p.drlevel,
+        a_tups.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        a_pf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(a_tups.size),
+        a_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(nthreads), ctypes.byref(n_reads), ctypes.byref(n_bases),
+        ctypes.byref(out_ptr))
+    if n < 0:
+        raise OSError(f"fastseq: cannot open {path}")
     if n == 0:
         if out_ptr:
             lib.sketch_cpu_free(out_ptr)

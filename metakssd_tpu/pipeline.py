@@ -61,9 +61,12 @@ def organize_infiles(args: list[str], list_file: str | None = None) -> list[str]
 
 
 # Whole-file fastq ingestion switches to the bounded-memory streaming
-# parser above this on-disk size (or always with MKSSD_STREAM=1).
-STREAM_THRESHOLD = int(os.environ.get("MKSSD_STREAM_THRESHOLD",
-                                      512 << 20))
+# parser above this on-disk size (MKSSD_STREAM=1 forces it, =0 forbids).
+# Default 0: streaming always wins when the native parser is available —
+# it reuses one batch buffer, whereas the whole-file path's fresh
+# full-size codes allocation costs ~1 s/GB in first-touch page faults on
+# this host (round-2 PERF note).
+STREAM_THRESHOLD = int(os.environ.get("MKSSD_STREAM_THRESHOLD", 0))
 STREAM_BATCH_BASES = int(os.environ.get("MKSSD_STREAM_BATCH", 64 << 20))
 
 
@@ -117,6 +120,17 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
     checkpointing (the reference can only restart a sample from zero)."""
     from metakssd_tpu.io import native
     import json as _json
+    if ckpt_file is None and sketch_xla._backend_policy() == "cpu":
+        # fused native parse+translate+sketch: one OpenMP pool, no
+        # full-size codes array, bit-identical drtuples (native.py
+        # sketch_fastq); the batch loop below remains the resumable
+        # (--ckpt) and device-backend path.
+        dr = native.sketch_fastq(path, shuf, accept=accept,
+                                 min_qual=min_qual)
+        if dr is not None:
+            return sketch_xla.sets_from_drtuples(dr, shuf.params,
+                                                 mode=mode,
+                                                 min_occ=min_occ)
     key = _ckpt_key(path, shuf, mode, min_qual)
     done = 0
     parts = []
@@ -175,8 +189,8 @@ def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
         # reference -A path (mt_shortreads2koc) has no quality filter
         q = 0 if opts.abundance else opts.min_qual
         from metakssd_tpu.io import native
-        stream = os.environ.get("MKSSD_STREAM") == "1" or \
-            os.path.getsize(path) > STREAM_THRESHOLD
+        stream = os.environ.get("MKSSD_STREAM", "1") != "0" and \
+            os.path.getsize(path) >= STREAM_THRESHOLD
         if stream and opts.mesh <= 1 and native.available():
             return _sketch_fastq_streaming(path, shuf, mode,
                                            opts.min_occ, q, accept,

