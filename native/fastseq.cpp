@@ -456,6 +456,7 @@ int64_t fastseq_sketch_file(const char* path, int min_qual,
 #endif
     std::vector<std::vector<uint64_t>> parts(nt);
     std::vector<std::vector<uint8_t>> lbufs(nt);
+    std::vector<kssd::PackScratch> scratches(nt);
 
     constexpr int64_t BLOCK_BASES = 48 << 10;
     std::vector<FqRec> recs;
@@ -485,6 +486,7 @@ int64_t fastseq_sketch_file(const char* path, int min_qual,
 #endif
             std::vector<uint8_t>& lb = lbufs[tid];
             std::vector<uint64_t>& out = parts[tid];
+            kssd::PackScratch& scratch = scratches[tid];
             int64_t my_bases = 0;
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 1)
@@ -505,8 +507,8 @@ int64_t fastseq_sketch_file(const char* path, int min_qual,
                 }
                 int64_t sz = (int64_t)lb.size();
                 if (sz >= TL)
-                    kssd::sketch_chunk(lb.data(), sz, 0, sz - TL + 1,
-                                       cfg, out);
+                    kssd::sketch_span(lb.data(), sz, 0, sz - TL + 1,
+                                      cfg, scratch, out);
             }
 #ifdef _OPENMP
 #pragma omp atomic

@@ -46,14 +46,21 @@ int64_t sketch_cpu_run(const uint8_t* codes, int64_t size, int k, int subk,
     const int64_t chunk = (nwin + nt - 1) / nt;
     std::vector<std::vector<uint64_t>> parts(nt);
 
+    // Sub-block the per-thread range so the SIMD path's pack scratch
+    // stays L1/L2-resident (sketch_span falls back to the scalar
+    // rolling loop off the AVX-512 envelope).
+    constexpr int64_t SUB = 48 << 10;
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(nt) schedule(static, 1)
 #endif
     for (int t = 0; t < nt; t++) {
         int64_t s = (int64_t)t * chunk;
         int64_t e = s + chunk < nwin ? s + chunk : nwin;
-        if (s < e)
-            kssd::sketch_chunk(codes, size, s, e, cfg, parts[t]);
+        kssd::PackScratch scratch;
+        for (int64_t b = s; b < e; b += SUB)
+            kssd::sketch_span(codes, size, b,
+                              b + SUB < e ? b + SUB : e, cfg, scratch,
+                              parts[t]);
     }
 
     int64_t total = 0;
