@@ -20,6 +20,7 @@ a sort (survivors ~1/4096).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +28,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RWIN = 512            # windows per lane per block (block = 128*RWIN windows)
+# windows per lane per block (block = 128*RWIN windows); env-tunable for
+# hardware sweeps (power of two >= 8)
+RWIN = int(os.environ.get("MKSSD_PALLAS_RWIN", 512))
 LANES = 128
 
 
@@ -177,7 +180,7 @@ def _kernel(c_ref, accept_ref, pfil_ref, lev_ref, dr_ref, keep_ref, *,
     keep_ref[0] = keep.astype(jnp.int32)
 
 
-CSLOT = 16            # survivor slots per lane
+CSLOT = int(os.environ.get("MKSSD_PALLAS_CSLOT", 16))  # survivor slots/lane
 MAXS = CSLOT * LANES  # compacted survivors per block (64K windows)
 SENT = 0xFFFFFFFF
 

@@ -42,6 +42,11 @@ def test_sharded_counts_match_serial(tmp_path):
     one = pmesh.sharded_shared_counts(co_ref, co_qry, m1)
     np.testing.assert_array_equal(serial, one)
 
+    # query batching over the data axis (2 data x 4 db)
+    m24 = pmesh.make_mesh(n_data=2, n_db=4)
+    both = pmesh.sharded_shared_counts(co_ref, co_qry, m24)
+    np.testing.assert_array_equal(serial, both)
+
     # per-read fastq sketches carry duplicate k-mers; both paths must
     # count once per query *occurrence* (reference command_dist.c:1044-1049)
     from metakssd_tpu.formats.codir import CoDir, write_codir
