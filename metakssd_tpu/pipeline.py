@@ -105,7 +105,8 @@ def _ckpt_load(ckpt_file: str, key: dict):
 
 def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
                             min_occ: int, min_qual: int, accept,
-                            ckpt_file: str | None = None):
+                            ckpt_file: str | None = None,
+                            threads: int = 0):
     """Sketch an arbitrarily large fastq with O(batch) host memory:
     fixed-size read batches stream from the native parser (reads never
     split, so no window spans a batch boundary), each batch's accepted
@@ -126,7 +127,7 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
         # sketch_fastq); the batch loop below remains the resumable
         # (--ckpt) and device-backend path.
         dr = native.sketch_fastq(path, shuf, accept=accept,
-                                 min_qual=min_qual)
+                                 min_qual=min_qual, nthreads=threads)
         if dr is not None:
             return sketch_xla.sets_from_drtuples(dr, shuf.params,
                                                  mode=mode,
@@ -194,7 +195,8 @@ def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
         if stream and opts.mesh <= 1 and native.available():
             return _sketch_fastq_streaming(path, shuf, mode,
                                            opts.min_occ, q, accept,
-                                           ckpt_file=ckpt_file)
+                                           ckpt_file=ckpt_file,
+                                           threads=opts.threads)
         codes, _ = seqio.fastq_to_codes(path, min_qual=q)
         return _sets(codes, mode)
     codes = seqio.fasta_to_codes(path)

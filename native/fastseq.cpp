@@ -16,6 +16,9 @@
 #include <string>
 #include <vector>
 #include <zlib.h>
+#include <thread>
+#include <mutex>
+#include <condition_variable>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -175,12 +178,128 @@ struct FqRec {
     int32_t qlen;   // -1 = no quality line
 };
 
+// ---------------------------------------------------------------------
+// Byte source with decompress-ahead: gzip members inflate on a
+// background thread into a bounded ring so inflate overlaps
+// parse+translate+sketch (the reference gets the same overlap for free
+// from its popen("zcat") child process, iseq2comem.c:669).  Plain files
+// read synchronously — the pass-through costs nothing to hide.
+// ---------------------------------------------------------------------
+
+class Source {
+  public:
+    explicit Source(const char* path) {
+        FILE* probe = fopen(path, "rb");
+        bool is_gz = false;
+        if (probe) {
+            unsigned char m[2];
+            is_gz = fread(m, 1, 2, probe) == 2 && m[0] == 0x1f &&
+                    m[1] == 0x8b;
+            fclose(probe);
+        }
+        f_ = gzopen(path, "rb");
+        if (!f_) return;
+        if (is_gz) {
+            for (auto& c : ring_) c.buf.resize(CHUNK);
+            th_ = std::thread([this] { produce(); });
+            threaded_ = true;
+        }
+    }
+    ~Source() {
+        if (threaded_) {
+            {
+                std::lock_guard<std::mutex> g(mu_);
+                stop_ = true;
+            }
+            cv_free_.notify_all();
+            cv_fill_.notify_all();
+            th_.join();
+        }
+        if (f_) gzclose(f_);
+    }
+    bool ok() const { return f_ != nullptr; }
+
+    // Fill dst with up to cap bytes; 0 = EOF, <0 = error.
+    int64_t read(char* dst, size_t cap) {
+        if (!threaded_) {
+            int n = gzread(f_, dst, (unsigned)cap);
+            return (int64_t)n;
+        }
+        size_t got = 0;
+        while (got < cap) {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_fill_.wait(lk, [this] {
+                return nfill_ > 0 || done_ || err_;
+            });
+            if (err_) return -1;
+            if (nfill_ == 0) break;           // done_ and drained
+            Chunk& c = ring_[head_];
+            size_t take = c.len - c.off;
+            if (take > cap - got) take = cap - got;
+            lk.unlock();
+            memcpy(dst + got, c.buf.data() + c.off, take);
+            got += take;
+            lk.lock();
+            c.off += take;
+            if (c.off == c.len) {
+                head_ = (head_ + 1) % NRING;
+                nfill_--;
+                lk.unlock();
+                cv_free_.notify_one();
+            }
+            if (got == cap) break;
+        }
+        return (int64_t)got;
+    }
+
+  private:
+    void produce() {
+        for (;;) {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_free_.wait(lk, [this] {
+                return nfill_ < NRING || stop_;
+            });
+            if (stop_) return;
+            Chunk& c = ring_[(head_ + nfill_) % NRING];
+            lk.unlock();
+            int n = gzread(f_, c.buf.data(), (unsigned)CHUNK);
+            lk.lock();
+            if (n <= 0) {
+                if (n < 0) err_ = true;
+                done_ = true;
+                lk.unlock();
+                cv_fill_.notify_all();
+                return;
+            }
+            c.len = (size_t)n;
+            c.off = 0;
+            nfill_++;
+            lk.unlock();
+            cv_fill_.notify_one();
+        }
+    }
+
+    static constexpr size_t CHUNK = 4 << 20;
+    static constexpr int NRING = 4;
+    struct Chunk {
+        std::vector<char> buf;
+        size_t len = 0, off = 0;
+    };
+    gzFile f_ = nullptr;
+    bool threaded_ = false;
+    Chunk ring_[NRING];
+    int head_ = 0, nfill_ = 0;
+    bool done_ = false, err_ = false, stop_ = false;
+    std::mutex mu_;
+    std::condition_variable cv_fill_, cv_free_;
+    std::thread th_;
+};
+
 class FqChunker {
   public:
     explicit FqChunker(const char* path)
-        : f_(gzopen(path, "rb")), buf_(16 << 20) {}
-    ~FqChunker() { if (f_) gzclose(f_); }
-    bool ok() const { return f_ != nullptr; }
+        : src_(path), buf_(16 << 20) {}
+    bool ok() const { return src_.ok(); }
 
     enum ScanStatus { NEED_MORE, BATCH_FULL, AT_EOF };
 
@@ -239,8 +358,8 @@ class FqChunker {
             pos_ = 0;
         }
         if (len_ == buf_.size()) buf_.resize(buf_.size() * 2);
-        int nread = gzread(f_, buf_.data() + len_,
-                           (unsigned)(buf_.size() - len_));
+        int64_t nread = src_.read(buf_.data() + len_,
+                                  buf_.size() - len_);
         if (nread <= 0) { eof_ = true; return false; }
         len_ += (size_t)nread;
         index_newlines();
@@ -294,7 +413,7 @@ class FqChunker {
         return 1;
     }
 
-    gzFile f_;
+    Source src_;
     std::vector<char> buf_;
     size_t len_ = 0, pos_ = 0;
     bool eof_ = false;
