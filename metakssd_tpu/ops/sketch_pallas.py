@@ -180,7 +180,12 @@ def _kernel(c_ref, accept_ref, pfil_ref, lev_ref, dr_ref, keep_ref, *,
     keep_ref[0] = keep.astype(jnp.int32)
 
 
-CSLOT = int(os.environ.get("MKSSD_PALLAS_CSLOT", 16))  # survivor slots/lane
+# Survivor slots per lane.  Default from the round-3 v5e sweep: the
+# compaction epilogue does one masked [RWIN,128] reduction per slot, and
+# 16 -> 8 measured 474 -> 552 Mwin/s (RWIN 1024 exceeds the 16 MiB VMEM
+# scoped limit; 256 ~= 512).  Expected survivors/lane = RWIN/4096, so 8
+# keeps overflow (exact rerun path) negligible.
+CSLOT = int(os.environ.get("MKSSD_PALLAS_CSLOT", 8))
 MAXS = CSLOT * LANES  # compacted survivors per block (64K windows)
 SENT = 0xFFFFFFFF
 

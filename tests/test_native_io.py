@@ -135,3 +135,48 @@ def test_stream_gz_matches_plain_and_whole(tmp_path):
     np.testing.assert_array_equal(plain, gz)
     np.testing.assert_array_equal(plain, native.parse_fastq(fq)[0])
     np.testing.assert_array_equal(collect(fq, 60), collect(fqgz, 60))
+
+
+@needs_native
+def test_fused_sketch_engine_edge_cases(tmp_path):
+    """fastseq_sketch_file (fused parse+translate+sketch, incl. the
+    AVX-512 window scan) vs golden.window_drtuples on adversarial
+    inputs: reads shorter than the k-mer window, all-N reads, lowercase,
+    CRLF endings, missing quality lines, quality filtering, and a k=16
+    (TL=32) config that must take the scalar fallback."""
+    from metakssd_tpu.formats.shuf import make_shuf
+    from metakssd_tpu.ops import golden
+    from metakssd_tpu.params import SketchParams
+
+    rng = np.random.default_rng(7)
+
+    def build_fq(path, crlf=False, drop_qual=False):
+        g = random_seq(rng, 40000)
+        reads = reads_from_genome(rng, g, 400, 80)
+        reads += ["ACGT", "A" * 15]                  # shorter than TL
+        reads += ["N" * 60, "ACGTNNNN" * 10]         # N-heavy
+        reads += [reads[0].lower()]                  # lowercase
+        eol = "\r\n" if crlf else "\n"
+        with open(path, "w", newline="") as f:
+            for i, r in enumerate(reads):
+                f.write(f"@r{i}{eol}{r}{eol}")
+                if not drop_qual:
+                    q = "".join(chr(int(x))
+                                for x in rng.integers(33, 74, len(r)))
+                    f.write(f"+{eol}{q}{eol}")
+        return path
+
+    for params, min_qual, crlf, drop_qual in (
+            (SketchParams(k=11, subk=6, drlevel=3), 0, False, False),
+            (SketchParams(k=8, subk=5, drlevel=2), 53, False, False),
+            (SketchParams(k=8, subk=5, drlevel=2), 0, True, False),
+            (SketchParams(k=16, subk=6, drlevel=5), 0, False, False),
+            (SketchParams(k=8, subk=5, drlevel=2), 40, False, True),
+    ):
+        shuf = make_shuf(params, seed=9)
+        fq = build_fq(str(tmp_path / "e.fq"), crlf=crlf,
+                      drop_qual=drop_qual)
+        got = native.sketch_fastq(fq, shuf, min_qual=min_qual)
+        codes, _ = _py_fastq(fq, q=min_qual)
+        want = golden.window_drtuples(codes, shuf)
+        np.testing.assert_array_equal(np.sort(got), np.sort(want)), params
