@@ -249,11 +249,40 @@ def _batched_stage1(inputs: list[str], shuf: DimShuffle,
             return seqio.fastq_to_codes(path, min_qual=q)[0]
         return seqio.fasta_to_codes(path)
 
-    # host parse pool (-p): the native parser releases the GIL inside
-    # the ctypes call, so threads give real parallelism (the reference
-    # OpenMP-parallelises stage I over files, command_dist.c:365)
+    def _mode_for(path: str) -> str:
+        fq = seqio.sniff_format(path) == "fastq"
+        if koc:
+            return "koc"
+        if opts.dedup and not fq:
+            return "uniq"
+        if fq and opts.min_occ > 1:
+            return "occ"
+        return "set"
+
+    # host parse pool (-p): the native parser and sketcher release the
+    # GIL inside the ctypes call, so threads give real parallelism (the
+    # reference OpenMP-parallelises stage I over files,
+    # command_dist.c:365)
     nthreads = opts.threads if opts.threads > 0 else (os.cpu_count() or 1)
     nthreads = min(nthreads, len(inputs))
+
+    if sketch_xla._backend_policy() == "cpu":
+        # native backend: sketch each file inside the pool (1 OpenMP
+        # thread per call, files in flight = pool width) instead of one
+        # giant concatenated XLA-on-CPU dispatch
+        from metakssd_tpu.io import native as native_io
+        if native_io.available():
+            def _one(path: str):
+                dr = native_io.sketch_cpu(_parse(path), shuf,
+                                          accept=accept, nthreads=1)
+                return sketch_xla.sets_from_drtuples(
+                    dr, p, mode=_mode_for(path), min_occ=opts.min_occ)
+            if nthreads > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=nthreads) as pool:
+                    return list(pool.map(_one, inputs))
+            return [_one(path) for path in inputs]
+
     if nthreads > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=nthreads) as pool:
