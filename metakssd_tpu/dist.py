@@ -62,10 +62,8 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
         os.path.exists(os.path.join(ref, "mcofiles.stat"))
     if ref_is_mco:
         mstat = McoStat.read(ref)
-        num_refs = mstat.infile_num
-        comp_num = mstat.comp_num
-        get_inv = lambda c: mco_fmt.read_mco_component(ref, c)  # noqa: E731
         _check_compat(mstat.shuf_id, mstat.comp_num, qry.stat)
+        return _shared_counts_mco(ref, qry, mstat, out)
     else:
         if isinstance(ref, str):
             ref = CoDir.read(ref, want_abund=False)
@@ -124,6 +122,69 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
                         - np.repeat(bnd, lens) + np.repeat(starts, lens))
                 acc += np.bincount(inv.gids[flat],
                                    minlength=num_refs).astype(np.uint32)
+            out[q] += acc
+    return out
+
+
+def _shared_counts_mco(ref: str, qry: CoDir, mstat: McoStat,
+                       out: np.ndarray | None) -> np.ndarray:
+    """Shared-count matrix against a dense reference-format mco dir via
+    mmap random access — exactly the reference's access shape
+    (command_dist.c:1003-1049): the cumulative index row extents for the
+    query's k-mers are fancy-indexed straight out of the (34 GiB at
+    COMPONENT_SZ=8) memory-mapped file, so only the touched pages fault
+    in; a full-index scan would read the whole file per run."""
+    import os as _os
+    from metakssd_tpu.formats.codir import _mmap_or_empty
+    from metakssd_tpu.formats.mco import MCO_IDX_PREFIX, MCO_PREFIX
+    from metakssd_tpu.io import native as native_io
+
+    num_refs = mstat.infile_num
+    qnum = qry.stat.infile_num
+    if out is None:
+        out = np.zeros((qnum, num_refs), dtype=np.uint32)
+    for c in range(mstat.comp_num):
+        cum = _mmap_or_empty(_os.path.join(ref, f"{MCO_IDX_PREFIX}.{c}"),
+                             np.uint64)
+        gids = _mmap_or_empty(_os.path.join(ref, f"{MCO_PREFIX}.{c}"),
+                              np.uint32)
+        if cum.size == 0:
+            continue
+        for q in range(qnum):
+            qids = qry.genome_ids(c, q).astype(np.int64)
+            qids = qids[qids < cum.size]       # foreign-build guard
+            if qids.size == 0:
+                continue
+            en = np.asarray(cum[qids], dtype=np.int64)
+            st = np.where(qids > 0,
+                          np.asarray(cum[np.maximum(qids - 1, 0)],
+                                     dtype=np.int64), 0)
+            sel = en > st
+            st, en = st[sel], en[sel]
+            if st.size == 0:
+                continue
+            acc = np.zeros(num_refs, dtype=np.uint32)
+            if not native_io.postings_count_ranges(st, en, gids, acc):
+                lo = 0
+                lens = en - st
+                while lo < st.size:               # bounded scratch
+                    hi = lo
+                    budget = _EXPAND_CHUNK
+                    while hi < st.size and budget > 0:
+                        budget -= int(lens[hi])
+                        hi += 1
+                    total = int(lens[lo:hi].sum())
+                    if total:
+                        bnd = np.zeros(hi - lo, dtype=np.int64)
+                        np.cumsum(lens[lo:hi - 1] if hi - lo > 1
+                                  else lens[lo:lo], out=bnd[1:])
+                        flat = (np.arange(total, dtype=np.int64)
+                                - np.repeat(bnd, lens[lo:hi])
+                                + np.repeat(st[lo:hi], lens[lo:hi]))
+                        acc += np.bincount(
+                            gids[flat],
+                            minlength=num_refs).astype(np.uint32)
+                    lo = hi
             out[q] += acc
     return out
 

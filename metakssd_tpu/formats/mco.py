@@ -64,13 +64,32 @@ class InvertedIndex:
 
 def write_mco_component(dirpath: str, c: int, inv: InvertedIndex,
                         comp_space: int) -> None:
-    """Write one component in the dense reference format."""
+    """Write one component in the dense reference format.
+
+    The dense cumulative index has 16^COMPONENT_SZ rows (34 GiB at the
+    reference default of 8), so it is streamed in bounded chunks — the
+    u64 row-size buffer is reused per chunk and carries a running
+    offset, never materialising the whole index in RAM."""
     os.makedirs(dirpath, exist_ok=True)
-    row_sizes = np.zeros(comp_space, dtype=np.uint64)
     lens = np.diff(inv.offsets.astype(np.int64)).astype(np.uint64)
-    row_sizes[inv.kmers.astype(np.int64)] = lens
-    np.cumsum(row_sizes, out=row_sizes)
-    row_sizes.tofile(os.path.join(dirpath, f"{MCO_IDX_PREFIX}.{c}"))
+    kmers = inv.kmers.astype(np.int64)
+    CH = 1 << 24
+    with open(os.path.join(dirpath, f"{MCO_IDX_PREFIX}.{c}"), "wb") as f:
+        base = np.uint64(0)
+        buf = np.empty(min(CH, comp_space), dtype=np.uint64)
+        lo_i = 0
+        for off in range(0, comp_space, CH):
+            n = min(CH, comp_space - off)
+            chunk = buf[:n]
+            chunk[:] = 0
+            hi_i = int(np.searchsorted(kmers, off + n, side="left"))
+            sel = slice(lo_i, hi_i)
+            chunk[kmers[sel] - off] = lens[sel]
+            lo_i = hi_i
+            np.cumsum(chunk, out=chunk)
+            chunk += base
+            chunk.tofile(f)
+            base = chunk[-1] if n else base
     inv.gids.astype(np.uint32).tofile(os.path.join(dirpath, f"{MCO_PREFIX}.{c}"))
 
 

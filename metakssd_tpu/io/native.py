@@ -102,6 +102,11 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+    lib.postings_count_ranges.restype = None
+    lib.postings_count_ranges.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
     lib.postings_expand_i32.restype = None
     lib.postings_expand_i32.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -341,6 +346,28 @@ def postings_count(rows: np.ndarray, starts: np.ndarray,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(rows.size),
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        acc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(acc.size))
+    return True
+
+
+def postings_count_ranges(st: np.ndarray, en: np.ndarray,
+                          gids: np.ndarray, acc: np.ndarray) -> bool:
+    """acc[gids[p]] += 1 for p in [st[i], en[i]) — the dense-mco
+    random-access count (gids may be a memory map; only touched pages
+    fault in).  Returns False if the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    st = np.ascontiguousarray(st, dtype=np.int64)
+    en = np.ascontiguousarray(en, dtype=np.int64)
+    assert gids.dtype == np.uint32 and gids.flags.c_contiguous
+    assert acc.dtype == np.uint32 and acc.flags.c_contiguous
+    lib.postings_count_ranges(
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        en.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(st.size),
         gids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         acc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(acc.size))

@@ -42,6 +42,27 @@ void postings_count_u32(const int64_t* rows, int64_t nr,
     }
 }
 
+// Like postings_count_u32 but with explicit [st, en) ranges — the
+// dense-mco random-access path, where row extents come straight from
+// the mmap'd cumulative index (command_dist.c:1042-1049 access shape).
+void postings_count_ranges(const int64_t* st, const int64_t* en,
+                           int64_t n, const uint32_t* gids,
+                           uint32_t* acc, int64_t nref) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) total += en[i] - st[i];
+    if (total > (int64_t)4 << 20 && nref <= (int64_t)16 << 20) {
+#pragma omp parallel for schedule(dynamic, 1024) \
+    reduction(+ : acc[:nref])
+        for (int64_t i = 0; i < n; i++)
+            for (int64_t p = st[i]; p < en[i]; p++)
+                acc[gids[p]]++;
+    } else {
+        for (int64_t i = 0; i < n; i++)
+            for (int64_t p = st[i]; p < en[i]; p++)
+                acc[gids[p]]++;
+    }
+}
+
 // Expand matched rows into flat (genome, query-abundance) posting
 // arrays: out_gid gets the posting genomes row by row, out_ab repeats
 // each row's query abundance across its postings.  Caller sizes the
