@@ -19,6 +19,10 @@
 #include <thread>
 #include <mutex>
 #include <condition_variable>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -449,6 +453,303 @@ void translate_batch(const char* buf, const std::vector<FqRec>& recs,
     }
 }
 
+// ---------------------------------------------------------------------
+// Sharded-file machinery: a regular uncompressed fastq is mmap'd and
+// decomposed into fixed byte chunks.  Pass 1 counts newlines per chunk
+// (parallel); the prefix sums give every chunk the global index of each
+// line starting inside it, so pass 2 can derive the exact same 4-line
+// record grouping the streaming scanner produces — deterministically,
+// with no serial scan phase at all.  Used by fastseq_sketch_file (the
+// per-sample hot path); gz / pipe inputs fall back to the streaming
+// scanner.
+// ---------------------------------------------------------------------
+
+struct MappedFile {
+    const char* data = nullptr;
+    size_t size = 0;
+    int fd = -1;
+
+    // Regular, seekable, non-gzip file only.
+    bool open_plain(const char* path) {
+        fd = ::open(path, O_RDONLY);
+        if (fd < 0) return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) return false;
+        size = (size_t)st.st_size;
+        if (size >= 2) {
+            unsigned char m[2];
+            if (pread(fd, m, 2, 0) == 2 && m[0] == 0x1f && m[1] == 0x8b)
+                return false;                     // gzip
+        }
+        if (size == 0) { data = ""; return true; }
+        void* p = mmap(nullptr, size, PROT_READ,
+                       MAP_SHARED | MAP_POPULATE, fd, 0);
+        if (p == MAP_FAILED)
+            p = mmap(nullptr, size, PROT_READ, MAP_SHARED, fd, 0);
+        if (p == MAP_FAILED) return false;
+        madvise(p, size, MADV_SEQUENTIAL);
+        madvise(p, size, MADV_WILLNEED);
+        data = (const char*)p;
+        return true;
+    }
+    ~MappedFile() {
+        if (data && size) munmap((void*)data, size);
+        if (fd >= 0) ::close(fd);
+    }
+};
+
+inline int64_t count_newlines(const char* p, int64_t n) {
+    int64_t cnt = 0, i = 0;
+#if defined(__AVX512BW__)
+    const __m512i nl = _mm512_set1_epi8('\n');
+    for (; i + 64 <= n; i += 64) {
+        __mmask64 m = _mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void*)(p + i)), nl);
+        cnt += __builtin_popcountll((uint64_t)m);
+    }
+#elif defined(__AVX2__)
+    const __m256i nl = _mm256_set1_epi8('\n');
+    for (; i + 32 <= n; i += 32) {
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(p + i)), nl));
+        cnt += __builtin_popcount(m);
+    }
+#endif
+    for (; i < n; i++) cnt += (p[i] == '\n');
+    return cnt;
+}
+
+// Append positions (absolute file offsets) of newlines in [lo, hi).
+inline void newline_positions(const char* data, int64_t lo, int64_t hi,
+                              std::vector<int64_t>& out) {
+    int64_t i = lo;
+#if defined(__AVX512BW__)
+    const __m512i nl = _mm512_set1_epi8('\n');
+    for (; i + 64 <= hi; i += 64) {
+        uint64_t m = (uint64_t)_mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void*)(data + i)), nl);
+        while (m) {
+            out.push_back(i + __builtin_ctzll(m));
+            m &= m - 1;
+        }
+    }
+#elif defined(__AVX2__)
+    const __m256i nl = _mm256_set1_epi8('\n');
+    for (; i + 32 <= hi; i += 32) {
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(data + i)), nl));
+        while (m) {
+            out.push_back(i + __builtin_ctz(m));
+            m &= m - 1;
+        }
+    }
+#endif
+    for (; i < hi; i++)
+        if (data[i] == '\n') out.push_back(i);
+}
+
+// Line extent helper for pass 2.  Lines are numbered globally; within a
+// chunk the local newline vector covers [cstart, cend) and lines whose
+// record tails cross cend are extended with memchr.  A "line" exists
+// iff its start offset < file size; EOF acts as a virtual terminator;
+// a trailing '\r' is stripped — all exactly matching FqChunker::line().
+struct LineWalker {
+    const char* data;
+    int64_t size;
+    const std::vector<int64_t>* nls;  // newlines in [cstart, cend)
+    size_t idx = 0;                   // next unconsumed local newline
+    int64_t overflow_pos;             // scan cursor past the local vector
+
+    LineWalker(const char* d, int64_t sz, const std::vector<int64_t>* v,
+               int64_t cend)
+        : data(d), size(sz), nls(v), overflow_pos(cend) {}
+
+    // Extent of the line starting at s; *next_s = start of the line
+    // after it.  Returns false if no line starts at s (s >= size).
+    bool next(int64_t s, int64_t* n, int64_t* next_s) {
+        if (s >= size) return false;
+        // advance the local cursor past newlines before s
+        while (idx < nls->size() && (*nls)[idx] < s) idx++;
+        int64_t e;
+        if (idx < nls->size()) {
+            e = (*nls)[idx++];
+        } else {
+            if (overflow_pos < s) overflow_pos = s;
+            const char* hit = (const char*)memchr(
+                data + overflow_pos, '\n', (size_t)(size - overflow_pos));
+            e = hit ? (int64_t)(hit - data) : size;
+            overflow_pos = e + 1;
+        }
+        int64_t len = e - s;
+        if (len > 0 && data[e - 1] == '\r') len--;
+        *n = len;
+        *next_s = e + 1;
+        return true;
+    }
+};
+
+// Parallel sharded fused sketch over an mmap'd plain fastq.  Chunk
+// ownership: chunk c owns the lines starting at p+1 for every newline
+// p inside [cstart, cend) (plus line 0 for chunk 0) — a partition of
+// all line starts, so each 4-line record is assembled by exactly one
+// thread, with lines crossing the chunk end extended via memchr.
+// Record semantics (partial tails, CR strip, quality-mask eligibility)
+// match the streaming FqChunker path bit for bit.
+int64_t sketch_file_sharded(const MappedFile& mf, int min_qual,
+                            const kssd::SketchCfg& cfg, int TL, int nt,
+                            int64_t* n_reads, int64_t* n_bases,
+                            uint64_t** out_ptr) {
+    const char* data = mf.data;
+    const int64_t size = (int64_t)mf.size;
+    int64_t CH = 4 << 20;
+    if (const char* e = getenv("MKSSD_SHARD_CHUNK")) {
+        int64_t v = atoll(e);                 // test hook: tiny chunks
+        if (v >= 64) CH = v;
+    }
+    const int64_t nchunks = size ? (size + CH - 1) / CH : 0;
+    constexpr int64_t BLOCK_BASES = 48 << 10;
+
+    std::vector<int64_t> nlpfx((size_t)nchunks + 1, 0);
+    std::vector<std::vector<uint64_t>> parts((size_t)nt);
+    std::vector<int64_t> treads((size_t)nt, 0), tbases((size_t)nt, 0);
+    const bool dbg = getenv("MKSSD_SKETCH_DEBUG") != nullptr;
+    double tp0 = 0, tp1 = 0;
+    auto now = [] {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec + 1e-9 * ts.tv_nsec;
+    };
+    if (dbg) tp0 = now();
+
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+        int tid = 0;
+#ifdef _OPENMP
+        tid = omp_get_thread_num();
+#endif
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (int64_t c = 0; c < nchunks; c++) {
+            int64_t lo = c * CH, hi = lo + CH < size ? lo + CH : size;
+            nlpfx[(size_t)c + 1] = count_newlines(data + lo, hi - lo);
+        }
+#ifdef _OPENMP
+#pragma omp single
+#endif
+        {
+            for (int64_t c = 0; c < nchunks; c++)
+                nlpfx[(size_t)c + 1] += nlpfx[(size_t)c];
+            if (dbg) tp1 = now();
+        }
+
+        std::vector<int64_t> L;                 // chunk newline positions
+        std::vector<uint8_t> lb;                // translated code block
+        kssd::PackScratch scratch;
+        std::vector<uint64_t>& out = parts[tid];
+        int64_t my_reads = 0, my_bases = 0;
+
+        auto flush_lb = [&]() {
+            int64_t sz = (int64_t)lb.size();
+            if (sz >= TL)
+                kssd::sketch_span(lb.data(), sz, 0, sz - TL + 1, cfg,
+                                  scratch, out);
+            lb.clear();
+        };
+
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1) nowait
+#endif
+        for (int64_t c = 0; c < nchunks; c++) {
+            int64_t lo = c * CH, hi = lo + CH < size ? lo + CH : size;
+            L.clear();
+            newline_positions(data, lo, hi, L);
+            LineWalker wk(data, size, &L, hi);
+
+            auto emit = [&](int64_t soff, int64_t slen, int64_t qoff,
+                            int64_t qlen) {
+                size_t base = lb.size();
+                lb.resize(base + (size_t)slen + 1);
+                uint8_t* o = lb.data() + base;
+                translate_span(data + soff, o, (size_t)slen);
+                if (min_qual > 0 && qlen == slen)
+                    qual_mask_span(data + qoff, o, (size_t)slen, min_qual);
+                o[slen] = RESET;
+                my_reads++;
+                my_bases += slen;
+                if ((int64_t)lb.size() >= BLOCK_BASES) flush_lb();
+            };
+
+            // slow path (chunk-tail records whose lines cross the chunk
+            // end, and chunk 0's line-0 record): walk lines one by one
+            auto handle_header = [&](int64_t hstart) {
+                int64_t lens[4], offs[4];
+                int got = 0;
+                int64_t cur = hstart;
+                for (int i = 0; i < 4; i++) {
+                    int64_t ln, nxt;
+                    if (!wk.next(cur, &ln, &nxt)) break;
+                    offs[i] = cur;
+                    lens[i] = ln;
+                    got = i + 1;
+                    cur = nxt;
+                }
+                if (got < 2) return;
+                emit(offs[1], lens[1], got >= 4 ? offs[3] : 0,
+                     got >= 4 ? lens[3] : (int64_t)-1);
+            };
+
+            if (c == 0 && size > 0) handle_header(0);
+            int64_t nl_before = nlpfx[(size_t)c];
+            size_t R = L.size();
+            // owned headers start at L[r]+1 with global line index
+            // nl_before+r+1 ≡ 0 (mod 4) → r ≡ -(nl_before+1) (mod 4)
+            size_t r0 = (size_t)((-(nl_before + 1)) & 3);
+            size_t r = r0;
+            // fast path: all 4 record lines terminate inside L — derive
+            // extents by direct indexing (records are exactly 4 lines,
+            // so owned headers stride by 4 newlines)
+            for (; r + 4 < R; r += 4) {
+                int64_t s1 = L[r + 1] + 1, e1 = L[r + 2];
+                int64_t n1 = e1 - s1;
+                if (n1 > 0 && data[e1 - 1] == '\r') n1--;
+                int64_t s3 = L[r + 3] + 1, e3 = L[r + 4];
+                int64_t n3 = e3 - s3;
+                if (n3 > 0 && data[e3 - 1] == '\r') n3--;
+                emit(s1, n1, s3, n3);
+            }
+            for (; r < R; r += 4) handle_header(L[r] + 1);
+            flush_lb();
+        }
+
+        treads[tid] = my_reads;
+        tbases[tid] = my_bases;
+    }
+
+    if (dbg)
+        fprintf(stderr, "sharded: pass1(count)=%.3f s pass2=%.3f s\n",
+                tp1 - tp0, now() - tp1);
+    *n_reads = 0;
+    *n_bases = 0;
+    for (int t = 0; t < nt; t++) {
+        *n_reads += treads[t];
+        *n_bases += tbases[t];
+    }
+    int64_t total = 0;
+    for (auto& p : parts) total += (int64_t)p.size();
+    uint64_t* out =
+        (uint64_t*)malloc(sizeof(uint64_t) * (size_t)(total ? total : 1));
+    int64_t off = 0;
+    for (auto& p : parts) {
+        memcpy(out + off, p.data(), p.size() * sizeof(uint64_t));
+        off += (int64_t)p.size();
+    }
+    *out_ptr = out;
+    return total;
+}
+
 }  // namespace
 
 extern "C" {
@@ -595,11 +896,9 @@ int64_t fastseq_sketch_file(const char* path, int min_qual,
                             const uint32_t* bitmask, int nthreads,
                             int64_t* n_reads, int64_t* n_bases,
                             uint64_t** out_ptr) {
-    FqChunker c(path);
     *n_reads = 0;
     *n_bases = 0;
     *out_ptr = nullptr;
-    if (!c.ok()) return -1;
     std::vector<uint32_t> premask =
         kssd::build_premask(accept_tups, n_accept);
     kssd::SketchCfg cfg{k, subk, drlevel, accept_tups, pfilters, n_accept,
@@ -609,6 +908,16 @@ int64_t fastseq_sketch_file(const char* path, int min_qual,
 #ifdef _OPENMP
     nt = nthreads > 0 ? nthreads : omp_get_max_threads();
 #endif
+    {
+        // plain regular files take the fully parallel sharded path
+        // (serial-scan-free; see sketch_file_sharded)
+        MappedFile mf;
+        if (mf.open_plain(path) && !getenv("MKSSD_NO_SHARDED_SKETCH"))
+            return sketch_file_sharded(mf, min_qual, cfg, TL, nt,
+                                       n_reads, n_bases, out_ptr);
+    }
+    FqChunker c(path);
+    if (!c.ok()) return -1;
     std::vector<std::vector<uint64_t>> parts(nt);
     std::vector<std::vector<uint8_t>> lbufs(nt);
     std::vector<kssd::PackScratch> scratches(nt);

@@ -180,3 +180,38 @@ def test_fused_sketch_engine_edge_cases(tmp_path):
         codes, _ = _py_fastq(fq, q=min_qual)
         want = golden.window_drtuples(codes, shuf)
         np.testing.assert_array_equal(np.sort(got), np.sort(want)), params
+
+
+@needs_native
+def test_sharded_sketch_chunk_boundaries(tmp_path, monkeypatch):
+    """The mmap-sharded fused engine (fastseq.cpp sketch_file_sharded)
+    must produce the same drtuple multiset as the streaming scanner for
+    every chunk decomposition: records straddling chunk ends, headers
+    starting exactly at a boundary, partial tail records, no trailing
+    newline, and variable read lengths."""
+    from metakssd_tpu.formats.shuf import make_shuf
+    from metakssd_tpu.params import SketchParams
+
+    rng = np.random.default_rng(11)
+    g = random_seq(rng, 60000)
+    reads = [r[:int(n)] for r, n in zip(
+        reads_from_genome(rng, g, 700, 220),
+        rng.integers(30, 220, size=700))]
+    fq = str(tmp_path / "b.fq")
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            q = "".join(chr(int(x)) for x in rng.integers(33, 74, len(r)))
+            f.write(f"@read_{i} extra meta\n{r}\n+\n{q}\n")
+        # partial tail record: header + seq only, no trailing newline
+        f.write("@tail\n" + "ACGT" * 30)
+
+    params = SketchParams(k=11, subk=6, drlevel=3)
+    shuf = make_shuf(params, seed=3)
+    monkeypatch.setenv("MKSSD_NO_SHARDED_SKETCH", "1")
+    want = native.sketch_fastq(fq, shuf, min_qual=40)
+    monkeypatch.delenv("MKSSD_NO_SHARDED_SKETCH")
+    for chunk in (64, 257, 1021, 8192, 1 << 20):
+        monkeypatch.setenv("MKSSD_SHARD_CHUNK", str(chunk))
+        got = native.sketch_fastq(fq, shuf, min_qual=40)
+        np.testing.assert_array_equal(np.sort(got), np.sort(want)), chunk
+    monkeypatch.delenv("MKSSD_SHARD_CHUNK")
