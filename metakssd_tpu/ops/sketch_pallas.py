@@ -33,6 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 RWIN = int(os.environ.get("MKSSD_PALLAS_RWIN", 512))
 LANES = 128
 
+# BFS levels up to this many splitters resolve via a scalar select tree
+# instead of a lane dynamic-gather.  v5e sweep (round 3): 0 (disabled)
+# 3159 Mwin/s vs 32 -> 3026 / 64 -> 2998 — the gather wins on v5e, so
+# the tree is off by default (kept env-tunable for other TPU gens).
+_SELTREE_MAX = int(os.environ.get("MKSSD_PALLAS_SELTREE", 0))
+
 
 def _ext(TL: int) -> int:
     """Overlap rows, rounded up for sublane alignment."""
@@ -42,7 +48,9 @@ def _ext(TL: int) -> int:
 def _lookup(tab_rows: list, pos):
     """table[pos] for a sorted table held as a list of [128] rows in
     registers/VMEM; pos int32 in [0, 128*len(rows)).  One lane-gather +
-    select per row."""
+    select per row.  (Selecting the row first and gathering once is NOT
+    equivalent: the gather moves each element to lane col[i,j], whose
+    row choice belongs to a different element.)"""
     col = pos & 127
     row = pos >> 7
     res = jnp.zeros(pos.shape, dtype=tab_rows[0].dtype)
@@ -120,25 +128,47 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
         dim = dim & np.uint32((1 << bits) - 1)
 
     # branchless binary search over the sorted accept table
-    rows = [accept_ref[v, :] for v in range(n_accept // LANES)]
     if lev_ref is not None:
         # BFS splitter layout: step d reads its 2^d-value level (1 row
-        # for d <= 7) instead of gathering across the full table
+        # for d <= 7) instead of gathering across the full table.  The
+        # last compared value on a left turn (val >= dim) is exactly
+        # accept[pos] (verified exhaustively host-side), so the final
+        # hit check costs one compare instead of a full-table lookup;
+        # the all-right path (pos == n-1, never compared) reads the
+        # table's last element at a static index.
         L = n_accept.bit_length() - 1
         pos = jnp.zeros((RWIN, LANES), jnp.int32)
+        lv = jnp.full((RWIN, LANES), 0xFFFFFFFF, jnp.uint32)
         off = 0
         for d in range(L):
             sz = 1 << d
             nrow = max(1, sz // LANES)
-            if sz <= LANES:
+            if sz <= _SELTREE_MAX:
+                # few splitters: a select tree over scalar reads beats a
+                # lane dynamic-gather (~1 us/select vs ~67 us/gather on
+                # [512,128] v5e tiles)
+                cur = [lev_ref[off, q] for q in range(sz)]
+                bit = 0
+                while len(cur) > 1:
+                    b = ((pos >> bit) & 1) == 1
+                    cur = [jnp.where(b, cur[q + 1], cur[q])
+                           for q in range(0, len(cur), 2)]
+                    bit += 1
+                val = jnp.broadcast_to(cur[0], pos.shape)
+            elif sz <= LANES:
                 bc = jnp.broadcast_to(lev_ref[off, :][None, :], pos.shape)
                 val = jnp.take_along_axis(bc, pos, axis=1)
             else:
                 val = _lookup([lev_ref[off + r, :] for r in range(nrow)],
                               pos)
-            pos = 2 * pos + (val < dim).astype(jnp.int32)
+            right = val < dim
+            pos = 2 * pos + right.astype(jnp.int32)
+            lv = jnp.where(right, lv, val)
             off += nrow
+        last = accept_ref[n_accept // LANES - 1, LANES - 1]
+        hit = (lv == dim) | ((pos == n_accept - 1) & (last == dim))
     else:
+        rows = [accept_ref[v, :] for v in range(n_accept // LANES)]
         pos = jnp.zeros((RWIN, LANES), jnp.int32)
         step = n_accept // 2
         while step >= 1:
@@ -146,8 +176,8 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
             val = _lookup(rows, mid)
             pos = jnp.where(val < dim, pos + step, pos)
             step //= 2
-    # pos <= n_accept - 1 by construction (it accumulates the path bits)
-    hit = _lookup(rows, pos) == dim
+        # pos <= n_accept - 1 by construction (path-bit accumulation)
+        hit = _lookup(rows, pos) == dim
 
     # drtuple
     top_s = 4 * k - 2 * outctx

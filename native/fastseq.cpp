@@ -190,6 +190,106 @@ struct FqRec {
 // read synchronously — the pass-through costs nothing to hide.
 // ---------------------------------------------------------------------
 
+struct MappedFile {
+    const char* data = nullptr;
+    size_t size = 0;
+    int fd = -1;
+
+    // Regular, seekable file (any content).
+    bool open_plain_gz(const char* path) {
+        fd = ::open(path, O_RDONLY);
+        if (fd < 0) return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) return false;
+        size = (size_t)st.st_size;
+        if (size == 0) { data = ""; return true; }
+        void* p = mmap(nullptr, size, PROT_READ,
+                       MAP_SHARED | MAP_POPULATE, fd, 0);
+        if (p == MAP_FAILED)
+            p = mmap(nullptr, size, PROT_READ, MAP_SHARED, fd, 0);
+        if (p == MAP_FAILED) return false;
+        madvise(p, size, MADV_SEQUENTIAL);
+        madvise(p, size, MADV_WILLNEED);
+        data = (const char*)p;
+        return true;
+    }
+
+    // Regular, seekable, non-gzip file only.
+    bool open_plain(const char* path) {
+        if (!open_plain_gz(path)) return false;
+        if (size >= 2 && (uint8_t)data[0] == 0x1f &&
+            (uint8_t)data[1] == 0x8b)
+            return false;                          // gzip
+        return true;
+    }
+    ~MappedFile() {
+        if (data && size) munmap((void*)data, size);
+        if (fd >= 0) ::close(fd);
+    }
+};
+
+// BGZF probe: gzip member with FEXTRA carrying the 'BC' subfield (the
+// bgzip block-size field).  Such files are sequences of independent
+// <=64 KiB members — inflatable in parallel (plain gzip is inherently
+// serial; bgzip/htslib output is the common parallel-friendly case).
+struct BgzfBlock {
+    int64_t off;      // compressed offset
+    int32_t csize;    // compressed size (whole member)
+};
+
+static bool bgzf_scan(const char* data, int64_t size,
+                      std::vector<BgzfBlock>& blocks) {
+    int64_t o = 0;
+    while (o < size) {
+        if (o + 18 > size) return false;
+        const uint8_t* h = (const uint8_t*)data + o;
+        if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || !(h[3] & 4))
+            return false;
+        int xlen = h[10] | (h[11] << 8);
+        if (o + 12 + xlen > size) return false;
+        // find the BC subfield inside the extra area
+        int p = 0, bsize = -1;
+        const uint8_t* x = h + 12;
+        while (p + 4 <= xlen) {
+            int slen = x[p + 2] | (x[p + 3] << 8);
+            if (x[p] == 'B' && x[p + 1] == 'C' && slen == 2) {
+                bsize = (x[p + 4] | (x[p + 5] << 8)) + 1;
+                break;
+            }
+            p += 4 + slen;
+        }
+        if (bsize <= 0 || o + bsize > size) return false;
+        blocks.push_back({o, bsize});
+        o += bsize;
+    }
+    return !blocks.empty();
+}
+
+// Inflate one BGZF member (raw deflate after the header) into dst.
+// Returns the uncompressed length, or -1 on error.
+static int64_t bgzf_inflate(const char* data, const BgzfBlock& b,
+                            std::vector<char>& dst) {
+    const uint8_t* h = (const uint8_t*)data + b.off;
+    int xlen = h[10] | (h[11] << 8);
+    int hdr = 12 + xlen;
+    if (b.csize < hdr + 8) return -1;
+    uint32_t isize;
+    memcpy(&isize, data + b.off + b.csize - 4, 4);
+    if (dst.size() < isize) dst.resize(isize ? isize : 1);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return -1;
+    zs.next_in = (Bytef*)(data + b.off + hdr);
+    zs.avail_in = (uInt)(b.csize - hdr - 8);
+    zs.next_out = (Bytef*)dst.data();
+    zs.avail_out = (uInt)dst.size();
+    int r = inflate(&zs, Z_FINISH);
+    int64_t got = (int64_t)zs.total_out;
+    inflateEnd(&zs);
+    if (r != Z_STREAM_END || got != (int64_t)isize) return -1;
+    return got;
+}
+
 class Source {
   public:
     explicit Source(const char* path) {
@@ -201,6 +301,21 @@ class Source {
                     m[1] == 0x8b;
             fclose(probe);
         }
+        if (is_gz && !getenv("MKSSD_NO_BGZF") &&
+            mf_.open_plain_gz(path) &&
+            bgzf_scan(mf_.data, (int64_t)mf_.size, blocks_)) {
+            // parallel BGZF inflate: workers claim blocks round-robin
+            // into an ordered ring ahead of the consumer
+            bgzf_ = true;
+            int nt = (int)std::thread::hardware_concurrency();
+            if (nt > 4) nt = 4;
+            if (nt < 1) nt = 1;
+            if ((int64_t)blocks_.size() < nt) nt = (int)blocks_.size();
+            slots_.resize(NSLOTS);
+            for (int t = 0; t < nt; t++)
+                workers_.emplace_back([this, t, nt] { bgzf_work(t, nt); });
+            return;
+        }
         f_ = gzopen(path, "rb");
         if (!f_) return;
         if (is_gz) {
@@ -210,21 +325,23 @@ class Source {
         }
     }
     ~Source() {
-        if (threaded_) {
+        if (threaded_ || bgzf_) {
             {
                 std::lock_guard<std::mutex> g(mu_);
                 stop_ = true;
             }
             cv_free_.notify_all();
             cv_fill_.notify_all();
-            th_.join();
+            if (threaded_) th_.join();
+            for (auto& w : workers_) w.join();
         }
         if (f_) gzclose(f_);
     }
-    bool ok() const { return f_ != nullptr; }
+    bool ok() const { return f_ != nullptr || bgzf_; }
 
     // Fill dst with up to cap bytes; 0 = EOF, <0 = error.
     int64_t read(char* dst, size_t cap) {
+        if (bgzf_) return bgzf_read(dst, cap);
         if (!threaded_) {
             int n = gzread(f_, dst, (unsigned)cap);
             return (int64_t)n;
@@ -283,8 +400,60 @@ class Source {
         }
     }
 
+    // ---- BGZF parallel inflate -----------------------------------
+    struct Slot {
+        std::vector<char> buf;
+        int64_t len = 0, off = 0;
+        int64_t id = -1;                  // block index held (-1 = free)
+    };
+
+    void bgzf_work(int t, int nt) {
+        for (int64_t bi = t; bi < (int64_t)blocks_.size(); bi += nt) {
+            Slot& s = slots_[bi % NSLOTS];
+            {
+                std::unique_lock<std::mutex> lk(mu_);
+                cv_free_.wait(lk, [&] {
+                    return stop_ || consumed_ + NSLOTS > bi;
+                });
+                if (stop_) return;
+            }
+            int64_t n = bgzf_inflate(mf_.data, blocks_[bi], s.buf);
+            std::lock_guard<std::mutex> g(mu_);
+            if (n < 0) { err_ = true; }
+            s.len = n < 0 ? 0 : n;
+            s.off = 0;
+            s.id = bi;
+            cv_fill_.notify_all();
+        }
+    }
+
+    int64_t bgzf_read(char* dst, size_t cap) {
+        size_t got = 0;
+        while (got < cap && next_ < (int64_t)blocks_.size()) {
+            Slot& s = slots_[next_ % NSLOTS];
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_fill_.wait(lk, [&] { return err_ || s.id == next_; });
+            if (err_) return -1;
+            size_t take = (size_t)(s.len - s.off);
+            if (take > cap - got) take = cap - got;
+            lk.unlock();
+            memcpy(dst + got, s.buf.data() + s.off, take);
+            got += take;
+            lk.lock();
+            s.off += take;
+            if (s.off == s.len) {
+                s.id = -1;
+                consumed_ = ++next_;
+                lk.unlock();
+                cv_free_.notify_all();
+            }
+        }
+        return (int64_t)got;
+    }
+
     static constexpr size_t CHUNK = 4 << 20;
     static constexpr int NRING = 4;
+    static constexpr int NSLOTS = 16;
     struct Chunk {
         std::vector<char> buf;
         size_t len = 0, off = 0;
@@ -297,6 +466,13 @@ class Source {
     std::mutex mu_;
     std::condition_variable cv_fill_, cv_free_;
     std::thread th_;
+    // BGZF state
+    bool bgzf_ = false;
+    MappedFile mf_;
+    std::vector<BgzfBlock> blocks_;
+    std::vector<Slot> slots_;
+    std::vector<std::thread> workers_;
+    int64_t next_ = 0, consumed_ = 0;
 };
 
 class FqChunker {
@@ -463,40 +639,6 @@ void translate_batch(const char* buf, const std::vector<FqRec>& recs,
 // per-sample hot path); gz / pipe inputs fall back to the streaming
 // scanner.
 // ---------------------------------------------------------------------
-
-struct MappedFile {
-    const char* data = nullptr;
-    size_t size = 0;
-    int fd = -1;
-
-    // Regular, seekable, non-gzip file only.
-    bool open_plain(const char* path) {
-        fd = ::open(path, O_RDONLY);
-        if (fd < 0) return false;
-        struct stat st;
-        if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) return false;
-        size = (size_t)st.st_size;
-        if (size >= 2) {
-            unsigned char m[2];
-            if (pread(fd, m, 2, 0) == 2 && m[0] == 0x1f && m[1] == 0x8b)
-                return false;                     // gzip
-        }
-        if (size == 0) { data = ""; return true; }
-        void* p = mmap(nullptr, size, PROT_READ,
-                       MAP_SHARED | MAP_POPULATE, fd, 0);
-        if (p == MAP_FAILED)
-            p = mmap(nullptr, size, PROT_READ, MAP_SHARED, fd, 0);
-        if (p == MAP_FAILED) return false;
-        madvise(p, size, MADV_SEQUENTIAL);
-        madvise(p, size, MADV_WILLNEED);
-        data = (const char*)p;
-        return true;
-    }
-    ~MappedFile() {
-        if (data && size) munmap((void*)data, size);
-        if (fd >= 0) ::close(fd);
-    }
-};
 
 inline int64_t count_newlines(const char* p, int64_t n) {
     int64_t cnt = 0, i = 0;

@@ -215,3 +215,54 @@ def test_sharded_sketch_chunk_boundaries(tmp_path, monkeypatch):
         got = native.sketch_fastq(fq, shuf, min_qual=40)
         np.testing.assert_array_equal(np.sort(got), np.sort(want)), chunk
     monkeypatch.delenv("MKSSD_SHARD_CHUNK")
+
+
+def _bgzf_compress(data: bytes, blocksize: int = 4000) -> bytes:
+    """Minimal bgzip-format writer (gzip members with the BC FEXTRA
+    subfield + empty EOF member) for testing the parallel inflate path."""
+    import struct
+    import zlib
+    out = []
+    chunks = [data[i:i + blocksize]
+              for i in range(0, len(data), blocksize)] + [b""]
+    for chunk in chunks:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cd = co.compress(chunk) + co.flush()
+        bsize = 18 + len(cd) + 8
+        hdr = struct.pack("<BBBBIBBHBBHH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff,
+                          6, ord("B"), ord("C"), 2, bsize - 1)
+        out.append(hdr + cd + struct.pack(
+            "<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+@needs_native
+def test_bgzf_parallel_inflate_parity(tmp_path, monkeypatch):
+    """BGZF inputs take the parallel member-inflate path (fastseq.cpp
+    Source/bgzf_work); output must match the serial zlib path and the
+    plain-file path exactly."""
+    from metakssd_tpu.formats.shuf import make_shuf
+    from metakssd_tpu.params import SketchParams
+
+    rng = np.random.default_rng(13)
+    g = random_seq(rng, 50000)
+    reads = reads_from_genome(rng, g, 2000, 120)
+    plain = b""
+    for i, r in enumerate(reads):
+        q = "".join(chr(int(x)) for x in rng.integers(33, 74, len(r)))
+        plain += f"@r{i}\n{r}\n+\n{q}\n".encode()
+    fq = str(tmp_path / "p.fq")
+    bg = str(tmp_path / "p.fq.gz")
+    with open(fq, "wb") as f:
+        f.write(plain)
+    with open(bg, "wb") as f:
+        f.write(_bgzf_compress(plain))
+
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=5)
+    want = native.sketch_fastq(fq, shuf, min_qual=40)
+    got_par = native.sketch_fastq(bg, shuf, min_qual=40)
+    monkeypatch.setenv("MKSSD_NO_BGZF", "1")
+    got_ser = native.sketch_fastq(bg, shuf, min_qual=40)
+    monkeypatch.delenv("MKSSD_NO_BGZF")
+    np.testing.assert_array_equal(np.sort(got_par), np.sort(want))
+    np.testing.assert_array_equal(np.sort(got_ser), np.sort(want))
