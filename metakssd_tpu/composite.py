@@ -207,27 +207,53 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
                 np.asarray(ci.rk), ci.starts, ci.gid_sorted, m)
             for ci in comp_idx]
 
+    # colocated-TPU route: single-component MarkerDB staged in HBM, the
+    # whole per-genome stats reduction on device (ops/profile_device.py)
+    dpi = None
+    if use_device and shard_db == 0 and ref.stat.comp_num == 1 \
+            and comp_idx[0] is not None:
+        from metakssd_tpu.ops.sketch_xla import _backend_policy
+        if _backend_policy() == "tpu" or \
+                os.environ.get("MKSSD_DEVICE_PROFILE") == "1":
+            from metakssd_tpu.ops.profile_device import DeviceProfileIndex
+            key = ("dpi", os.path.abspath(refdir))
+            dpi = _COMP_CACHE.get(key)
+            if dpi is None:
+                ci = comp_idx[0]
+                dpi = DeviceProfileIndex(np.asarray(ci.rk),
+                                         np.asarray(ci.starts),
+                                         np.asarray(ci.gid_sorted), nref)
+                _COMP_CACHE[key] = dpi
+
     use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):
-        m_gid: list[np.ndarray] = []
-        m_ab: list[np.ndarray] = []
-        for c in range(ref.stat.comp_num):
-            qids = qry.genome_ids(c, qn)
-            qab = qry.genome_abund(c, qn)
+        stats = None
+        if dpi is not None:
+            qids = qry.genome_ids(0, qn)
+            qab = qry.genome_abund(0, qn)
             order = np.argsort(qids, kind="stable")
-            qids_s, qab_s = qids[order], qab[order]
-            if qids_s.size == 0 or comp_idx[c] is None:
-                continue
-            g, ab = comp_idx[c].match(qids_s, qab_s, use_pallas)
-            m_gid.append(g)
-            m_ab.append(ab)
-        all_g = (np.concatenate(m_gid) if m_gid
-                 else np.zeros(0, np.int32))
-        all_ab = (np.concatenate(m_ab) if m_ab
-                  else np.zeros(0, np.uint16))
-        from metakssd_tpu.io import native as native_io
-        stats = native_io.postings_group_stats(all_g, all_ab, nref,
-                                               ST_PCTL, ED_PCTL)
+            stats = dpi.group_stats(qids[order], qab[order],
+                                    ST_PCTL, ED_PCTL)
+        if stats is None:
+            m_gid: list[np.ndarray] = []
+            m_ab: list[np.ndarray] = []
+            for c in range(ref.stat.comp_num):
+                qids = qry.genome_ids(c, qn)
+                qab = qry.genome_abund(c, qn)
+                order = np.argsort(qids, kind="stable")
+                qids_s, qab_s = qids[order], qab[order]
+                if qids_s.size == 0 or comp_idx[c] is None:
+                    continue
+                g, ab = comp_idx[c].match(qids_s, qab_s, use_pallas)
+                m_gid.append(g)
+                m_ab.append(ab)
+            all_g = (np.concatenate(m_gid) if m_gid
+                     else np.zeros(0, np.int32))
+            all_ab = (np.concatenate(m_ab) if m_ab
+                      else np.zeros(0, np.uint16))
+            from metakssd_tpu.io import native as native_io
+            stats = native_io.postings_group_stats(all_g, all_ab, nref,
+                                                   ST_PCTL, ED_PCTL)
         if stats is not None:
             # fused native pass: group-by-genome + per-genome sorted
             # stats (native/postings.cpp); float32 divisions happen

@@ -189,3 +189,37 @@ def test_cli_dense_flag(profiling_setup, capsys):
     d0 = dense_out.splitlines()[1].split("\t")[0]
     s0 = sparse_out.splitlines()[1].split("\t")[0]
     assert d0 == s0
+
+
+@needs_oracle
+def test_device_profile_stats_path(profiling_setup, monkeypatch):
+    """The colocated-TPU profiling reduction (ops/profile_device.py:
+    device membership + scatter-free segment sums + segmented sort)
+    produces byte-identical TSV to the host/native stats path, including
+    min_km_s=0 (zero-count genomes exercise the reference's cnt==0
+    percentile quirk) and the binvec route."""
+    tmp, refco, qco = profiling_setup
+    for s in ("sample0", "sample1"):
+        for mks in (6, 0):
+            buf_host = io.StringIO()
+            composite.get_species_abundance(refco, qco[s], out=buf_host,
+                                            min_km_s=mks)
+            monkeypatch.setenv("MKSSD_DEVICE_PROFILE", "1")
+            buf_dev = io.StringIO()
+            composite.get_species_abundance(refco, qco[s], out=buf_dev,
+                                            min_km_s=mks)
+            monkeypatch.delenv("MKSSD_DEVICE_PROFILE")
+            assert buf_dev.getvalue() == buf_host.getvalue(), (s, mks)
+    # binvec (.abv writer) route through the device stats
+    vdir_h = str(tmp / "abv_host")
+    vdir_d = str(tmp / "abv_dev")
+    composite.get_species_abundance(refco, qco["sample0"], outdir=vdir_h,
+                                    binvec=True)
+    monkeypatch.setenv("MKSSD_DEVICE_PROFILE", "1")
+    composite.get_species_abundance(refco, qco["sample0"], outdir=vdir_d,
+                                    binvec=True)
+    monkeypatch.delenv("MKSSD_DEVICE_PROFILE")
+    for f in sorted(os.listdir(vdir_h)):
+        a = open(os.path.join(vdir_h, f), "rb").read()
+        b = open(os.path.join(vdir_d, f), "rb").read()
+        assert a == b, f
