@@ -21,10 +21,9 @@ the host path, only *matched* postings are touched:
     C-double semantics, computed on the host in float64 from the
     fetched counts between the two device dispatches.
 
-``Lmax`` (the static posting-row width) is the DB's longest row, capped
-at 128; a query matching a longer row returns None and the caller falls
-back to the host kernels — marker k-mers shared by >128 genomes are
-poor markers, so real MarkerDBs rarely trip this.
+Posting rows are split into fixed-width (``SUBW``) *subrows* at staging,
+so arbitrarily long rows (a k-mer shared by thousands of genomes) fit
+the static expansion tile with bounded padding — no fallback path.
 
 Single-device only: the multi-chip path (parallel.mesh.ShardedMatchIndex)
 keeps its host-side stats, and multi-component DBs fall back to the host
@@ -39,30 +38,75 @@ import jax
 import numpy as np
 
 UINT32_MAX = 0xFFFFFFFF
-LMAX_CAP = 128
+SUBW = 8          # subrow width: expansion tile is [n_subrows, SUBW]
 
 
 def _bucket(n: int) -> int:
     return 1 << max(int(n - 1).bit_length(), 6)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("nref", "lmax", "npost"))
-def _stats_pass1(starts, gids, rows, ab, nm, *, nref, lmax, npost):
-    import jax.numpy as jnp
-    from jax import lax
+class SubrowTable:
+    """Posting rows re-cut into <=SUBW-wide subrows (host metadata +
+    device-staged start/end/gid arrays), shared by the profiling and
+    dist device reductions."""
 
-    bucket = rows.shape[0]
+    def __init__(self, starts: np.ndarray, gid_sorted: np.ndarray):
+        starts = np.asarray(starts, np.int64)
+        lens = np.diff(starts)
+        nsub_row = -(-lens // SUBW)                       # 0 for empty rows
+        self.sub0 = np.zeros(starts.size, np.int64)
+        np.cumsum(nsub_row, out=self.sub0[1:])
+        nsub = int(self.sub0[-1])
+        # subrow s of row r starts at starts[r] + k*SUBW
+        rows_of_sub = np.repeat(np.arange(lens.size), nsub_row)
+        k = (np.arange(nsub, dtype=np.int64)
+             - self.sub0[rows_of_sub])
+        sst = starts[rows_of_sub] + k * SUBW
+        sen = np.minimum(sst + SUBW, starts[rows_of_sub + 1])
+        self.npost = int(gid_sorted.size)
+        if self.npost >= 1 << 31:
+            raise ValueError("device reduction supports < 2^31 postings")
+        self._sst_d = jax.device_put(sst.astype(np.int32))
+        self._sen_d = jax.device_put(sen.astype(np.int32))
+        self._gids_d = jax.device_put(np.asarray(gid_sorted, np.int32))
+
+    def expand_rows(self, rows: np.ndarray, payload: np.ndarray):
+        """Host-side row -> subrow expansion: (subrow idx, payload)."""
+        c0, c1 = self.sub0[rows], self.sub0[rows + 1]
+        cnt = c1 - c0
+        total = int(cnt.sum())
+        bnd = np.zeros(rows.size, np.int64)
+        np.cumsum(cnt[:-1], out=bnd[1:])
+        sub = (np.arange(total, dtype=np.int64)
+               - np.repeat(bnd, cnt) + np.repeat(c0, cnt)).astype(np.int32)
+        return sub, np.repeat(np.asarray(payload), cnt)
+
+
+def _expand_tile(sst, sen, gids, subs, nm, *, nref, npost):
+    """[bucket, SUBW] (genome id | nref-sentinel) tile of the matched
+    subrows' postings."""
+    import jax.numpy as jnp
+    bucket = subs.shape[0]
     rvalid = jnp.arange(bucket) < nm
-    rows_c = jnp.where(rvalid, rows, 0)
-    st = jnp.take(starts, rows_c)
-    en = jnp.take(starts, rows_c + 1)
-    j = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+    subs_c = jnp.where(rvalid, subs, 0)
+    st = jnp.take(sst, subs_c)
+    en = jnp.take(sen, subs_c)
+    j = jnp.arange(SUBW, dtype=jnp.int32)[None, :]
     gidx = st[:, None] + j
     valid = rvalid[:, None] & (gidx < en[:, None])
     g = jnp.where(valid,
                   jnp.take(gids, jnp.clip(gidx, 0, npost - 1)),
                   jnp.int32(nref))
+    return g, valid
+
+
+@functools.partial(jax.jit, static_argnames=("nref", "npost"))
+def _stats_pass1(sst, sen, gids, subs, ab, nm, *, nref, npost):
+    import jax.numpy as jnp
+    from jax import lax
+
+    g, valid = _expand_tile(sst, sen, gids, subs, nm,
+                            nref=nref, npost=npost)
     abf = jnp.where(valid, ab[:, None], jnp.uint32(0))
 
     gs, sab = lax.sort((g.reshape(-1), abf.reshape(-1)), num_keys=2)
@@ -113,43 +157,32 @@ class DeviceProfileIndex:
     def __init__(self, rk: np.ndarray, starts: np.ndarray,
                  gid_sorted: np.ndarray, nref: int):
         self.rk = np.asarray(rk, np.uint32)           # host: membership
-        self.starts_h = np.asarray(starts, np.int64)
         self.nref = nref
-        self.npost = int(gid_sorted.size)
-        if self.npost >= 1 << 31:
-            raise ValueError("device profiling supports < 2^31 postings")
-        lens = np.diff(self.starts_h)
-        self.lmax = int(min(lens.max() if lens.size else 1, LMAX_CAP))
-        self.lmax = max(self.lmax, 1)
-        self._long = lens > self.lmax                  # per-row fallback
-        self._starts_d = jax.device_put(self.starts_h.astype(np.int32))
-        self._gids_d = jax.device_put(
-            np.asarray(gid_sorted, np.int32))
+        self.sub = SubrowTable(starts, gid_sorted)
 
     def group_stats(self, qids_s: np.ndarray, qab_s: np.ndarray,
                     st_pctl: float, ed_pctl: float):
         """(count, sum, lastsum, lastn, median, max) int64 arrays of
-        length nref — the exact postings_group_stats contract — or None
-        when a matched posting row exceeds Lmax (caller falls back)."""
+        length nref — the exact postings_group_stats contract."""
         import jax.numpy as jnp
         # host membership: tiny vs the postings sweep
         pos = np.searchsorted(self.rk, qids_s)
         pos_c = np.minimum(pos, max(self.rk.size - 1, 0))
         member = (self.rk.size > 0) & (self.rk[pos_c] == qids_s)
-        rows = pos_c[member].astype(np.int32)
-        if rows.size and self._long[rows].any():
-            return None
+        rows = pos_c[member]
         abm = np.asarray(qab_s)[member].astype(np.uint32)
-        nm = int(rows.size)
+        subs, absub = self.sub.expand_rows(rows, abm)
+        nm = int(subs.size)
         bucket = _bucket(max(nm, 1))
         rpad = np.zeros(bucket, np.int32)
-        rpad[:nm] = rows
+        rpad[:nm] = subs
         apad = np.zeros(bucket, np.uint32)
-        apad[:nm] = abm
+        apad[:nm] = absub
         counts, slo, shi, med, mx, base, clo, chi = _stats_pass1(
-            self._starts_d, self._gids_d, jnp.asarray(rpad),
-            jnp.asarray(apad), jnp.asarray(np.int32(nm)),
-            nref=self.nref, lmax=self.lmax, npost=self.npost)
+            self.sub._sst_d, self.sub._sen_d, self.sub._gids_d,
+            jnp.asarray(rpad), jnp.asarray(apad),
+            jnp.asarray(np.int32(nm)),
+            nref=self.nref, npost=self.sub.npost)
         counts = np.asarray(counts).astype(np.int64)
         # C-double percentile window bounds from the fetched counts
         i0 = (counts * st_pctl).astype(np.int64)       # (int)(cnt*st)
