@@ -243,7 +243,10 @@ static bool bgzf_scan(const char* data, int64_t size,
     while (o < size) {
         if (o + 18 > size) return false;
         const uint8_t* h = (const uint8_t*)data + o;
-        if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || !(h[3] & 4))
+        // FLG must be exactly FEXTRA (bgzip's output): any extra header
+        // field (FNAME/FCOMMENT/FHCRC) would shift the deflate offset
+        // that bgzf_inflate assumes, so such files take the serial path
+        if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || h[3] != 4)
             return false;
         int xlen = h[10] | (h[11] << 8);
         if (o + 12 + xlen > size) return false;
@@ -715,6 +718,8 @@ struct LineWalker {
         int64_t e;
         if (idx < nls->size()) {
             e = (*nls)[idx++];
+        } else if (overflow_pos >= size) {
+            e = size;                      // past EOF: virtual terminator
         } else {
             if (overflow_pos < s) overflow_pos = s;
             const char* hit = (const char*)memchr(
