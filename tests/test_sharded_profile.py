@@ -119,3 +119,49 @@ def test_mesh_stage1_sketch_identical(tmp_path):
     for g in range(2):
         np.testing.assert_array_equal(ca.genome_ids(0, g),
                                       cb.genome_ids(0, g))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_expansion_counts_long_rows_and_mult(tmp_path):
+    """The matched-row-expansion dist step (db axis == 1) must match the
+    serial path when posting rows are longer than SUBW (k-mers shared by
+    many genomes -> subrow splitting) and queries carry duplicate k-mers
+    (multiplicity weighting)."""
+    from metakssd_tpu.formats.codir import CoDir, write_codir
+    from metakssd_tpu.formats.costat import CoStat
+    from metakssd_tpu.ops.profile_device import SUBW
+
+    rng = np.random.default_rng(3)
+    nref = 40
+    # a core of shared k-mers present in EVERY genome (row len 40 > SUBW)
+    core = np.unique(rng.integers(0, 1 << 30, 50).astype(np.uint32))
+    per_genome = []
+    for i in range(nref):
+        own = rng.integers(0, 1 << 30, 300).astype(np.uint32)
+        per_genome.append([(np.unique(np.concatenate([core, own])), None)])
+    ctx = np.array([g[0][0].size for g in per_genome], np.uint32)
+    stat = CoStat(7, False, 16, 4, 1, int(ctx.sum()), ctx,
+                  [f"g{i}" for i in range(nref)])
+    refdir = str(tmp_path / "ref")
+    write_codir(refdir, stat, per_genome)
+    assert core.size and nref > SUBW
+
+    # queries with duplicates (per-read sketches)
+    per_q = []
+    for i in range(3):
+        hits = rng.choice(per_genome[i][0][0], 120)
+        miss = rng.integers(0, 1 << 30, 80).astype(np.uint32)
+        ids = np.sort(np.concatenate([hits, hits[::2], core, miss]))
+        per_q.append([(ids.astype(np.uint32), None)])
+    qctx = np.array([g[0][0].size for g in per_q], np.uint32)
+    qstat = CoStat(7, False, 16, 4, 1, int(qctx.sum()), qctx,
+                   [f"q{i}" for i in range(3)])
+    qrydir = str(tmp_path / "qry")
+    write_codir(qrydir, qstat, per_q)
+
+    serial = dist.shared_kmer_matrix(refdir, qrydir, use_device=False)
+    for n_data in (1, 8):
+        m = pmesh.make_mesh(n_data=n_data, n_db=1)
+        got = pmesh.sharded_shared_counts(refdir, qrydir, m)
+        np.testing.assert_array_equal(serial, got), n_data
+    assert serial.min() >= core.size  # every (q, ref) shares the core
