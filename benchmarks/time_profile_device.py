@@ -30,7 +30,7 @@ print(f"nref={NREF} distinct_kmers={rk.size} postings={gid.size}",
       flush=True)
 
 t0 = time.time()
-idx = DeviceProfileIndex(rk, starts, gid, NREF)
+idx = DeviceProfileIndex([(rk, starts, gid)], NREF)
 print(f"stage: {time.time()-t0:.2f} s", flush=True)
 
 queries = []
@@ -40,12 +40,12 @@ for i in range(K):
     queries.append((q, a))
 
 # end-to-end per query (both passes + readbacks)
-stats = idx.group_stats(*queries[0], 0.98, 0.99)   # warm compile
+stats = idx.group_stats([queries[0]], 0.98, 0.99)   # warm compile
 best = float("inf")
 for _ in range(3):
     t0 = time.time()
     for q, a in queries:
-        idx.group_stats(q, a, 0.98, 0.99)
+        idx.group_stats([(q, a)], 0.98, 0.99)
     best = min(best, time.time() - t0)
 print(f"e2e group_stats: {best*1000/K:.1f} ms/query "
       f"({K/best:.1f} q/s)", flush=True)

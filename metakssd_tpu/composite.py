@@ -210,8 +210,8 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
     # colocated-TPU route: single-component MarkerDB staged in HBM, the
     # whole per-genome stats reduction on device (ops/profile_device.py)
     dpi = None
-    if use_device and shard_db == 0 and ref.stat.comp_num == 1 \
-            and comp_idx[0] is not None:
+    if use_device and shard_db == 0 and any(ci is not None
+                                            for ci in comp_idx):
         from metakssd_tpu.ops.sketch_xla import _backend_policy
         if _backend_policy() == "tpu" or \
                 os.environ.get("MKSSD_DEVICE_PROFILE") == "1":
@@ -219,21 +219,24 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
             key = ("dpi", os.path.abspath(refdir))
             dpi = _COMP_CACHE.get(key)
             if dpi is None:
-                ci = comp_idx[0]
-                dpi = DeviceProfileIndex(np.asarray(ci.rk),
-                                         np.asarray(ci.starts),
-                                         np.asarray(ci.gid_sorted), nref)
+                comps = [None if ci is None else
+                         (np.asarray(ci.rk), np.asarray(ci.starts),
+                          np.asarray(ci.gid_sorted))
+                         for ci in comp_idx]
+                dpi = DeviceProfileIndex(comps, nref)
                 _COMP_CACHE[key] = dpi
 
     use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):
         stats = None
         if dpi is not None:
-            qids = qry.genome_ids(0, qn)
-            qab = qry.genome_abund(0, qn)
-            order = np.argsort(qids, kind="stable")
-            stats = dpi.group_stats(qids[order], qab[order],
-                                    ST_PCTL, ED_PCTL)
+            pcq = []
+            for c in range(ref.stat.comp_num):
+                qids = qry.genome_ids(c, qn)
+                qab = qry.genome_abund(c, qn)
+                order = np.argsort(qids, kind="stable")
+                pcq.append((qids[order], qab[order]))
+            stats = dpi.group_stats(pcq, ST_PCTL, ED_PCTL)
         if stats is None:
             m_gid: list[np.ndarray] = []
             m_ab: list[np.ndarray] = []

@@ -25,9 +25,12 @@ Posting rows are split into fixed-width (``SUBW``) *subrows* at staging,
 so arbitrarily long rows (a k-mer shared by thousands of genomes) fit
 the static expansion tile with bounded padding — no fallback path.
 
-Single-device only: the multi-chip path (parallel.mesh.ShardedMatchIndex)
-keeps its host-side stats, and multi-component DBs fall back to the host
-kernels (per-genome percentiles do not decompose across components).
+Multi-component MarkerDBs stage one GLOBAL subrow table over the
+concatenated per-component postings (the statistics depend only on the
+matched (genome, abundance) pairs, never on the k-mer values, so
+component-local matched rows simply map to global row ids and batch
+into one dispatch).  Single-device only: the multi-chip path
+(parallel.mesh.ShardedMatchIndex) keeps its host-side stats.
 """
 
 from __future__ import annotations
@@ -66,9 +69,14 @@ class SubrowTable:
         self.npost = int(gid_sorted.size)
         if self.npost >= 1 << 31:
             raise ValueError("device reduction supports < 2^31 postings")
+        if nsub == 0:                     # dummy empty subrow: gathers
+            sst = np.zeros(1, np.int64)   # stay in-bounds, en-st == 0
+            sen = np.zeros(1, np.int64)   # masks everything invalid
         self._sst_d = jax.device_put(sst.astype(np.int32))
         self._sen_d = jax.device_put(sen.astype(np.int32))
-        self._gids_d = jax.device_put(np.asarray(gid_sorted, np.int32))
+        self._gids_d = jax.device_put(
+            np.asarray(gid_sorted, np.int32) if self.npost
+            else np.zeros(1, np.int32))
 
     def expand_rows(self, rows: np.ndarray, payload: np.ndarray):
         """Host-side row -> subrow expansion: (subrow idx, payload)."""
@@ -152,25 +160,62 @@ def _stats_pass2(csab_lo, csab_hi, base, i0, iend):
 
 class DeviceProfileIndex:
     """Provider of the postings_group_stats tuple, computed on device
-    from a single-component MarkerDB's inverted index staged in HBM."""
+    from a MarkerDB's inverted index staged in HBM (all components
+    concatenated into one global posting/subrow table)."""
 
-    def __init__(self, rk: np.ndarray, starts: np.ndarray,
-                 gid_sorted: np.ndarray, nref: int):
-        self.rk = np.asarray(rk, np.uint32)           # host: membership
+    def __init__(self, comps: list, nref: int):
+        """comps: per-component (rk, starts, gid_sorted) tuples (None
+        entries allowed for empty components)."""
         self.nref = nref
-        self.sub = SubrowTable(starts, gid_sorted)
+        self.rks = []                      # host: per-component membership
+        self.row_off = []                  # component row id offsets
+        starts_all = [np.zeros(1, np.int64)]
+        gids_all = []
+        off_rows = 0
+        off_post = 0
+        for comp in comps:
+            if comp is None:
+                self.rks.append(None)
+                self.row_off.append(off_rows)
+                continue
+            rk, starts, gid_sorted = comp
+            starts = np.asarray(starts, np.int64)
+            self.rks.append(np.asarray(rk, np.uint32))
+            self.row_off.append(off_rows)
+            starts_all.append(starts[1:] + off_post)
+            gids_all.append(np.asarray(gid_sorted, np.int32))
+            off_rows += starts.size - 1
+            off_post += int(starts[-1])
+        starts_g = np.concatenate(starts_all)
+        gids_g = (np.concatenate(gids_all) if gids_all
+                  else np.zeros(0, np.int32))
+        self.sub = SubrowTable(starts_g, gids_g)
 
-    def group_stats(self, qids_s: np.ndarray, qab_s: np.ndarray,
+    def group_stats(self, per_comp_queries: list,
                     st_pctl: float, ed_pctl: float):
-        """(count, sum, lastsum, lastn, median, max) int64 arrays of
-        length nref — the exact postings_group_stats contract."""
+        """per_comp_queries: per-component (sorted qids, aligned qab)
+        tuples (or None).  Returns (count, sum, lastsum, lastn, median,
+        max) int64 arrays of length nref — the exact
+        postings_group_stats contract."""
         import jax.numpy as jnp
-        # host membership: tiny vs the postings sweep
-        pos = np.searchsorted(self.rk, qids_s)
-        pos_c = np.minimum(pos, max(self.rk.size - 1, 0))
-        member = (self.rk.size > 0) & (self.rk[pos_c] == qids_s)
-        rows = pos_c[member]
-        abm = np.asarray(qab_s)[member].astype(np.uint32)
+        rows_l, ab_l = [], []
+        for c, q in enumerate(per_comp_queries):
+            if q is None or self.rks[c] is None:
+                continue
+            qids_s, qab_s = q
+            rk = self.rks[c]
+            if qids_s.size == 0 or rk.size == 0:
+                continue
+            # host membership: tiny vs the postings sweep
+            pos = np.searchsorted(rk, qids_s)
+            pos_c = np.minimum(pos, rk.size - 1)
+            member = rk[pos_c] == qids_s
+            rows_l.append(pos_c[member] + self.row_off[c])
+            ab_l.append(np.asarray(qab_s)[member].astype(np.uint32))
+        rows = (np.concatenate(rows_l) if rows_l
+                else np.zeros(0, np.int64))
+        abm = (np.concatenate(ab_l) if ab_l
+               else np.zeros(0, np.uint32))
         subs, absub = self.sub.expand_rows(rows, abm)
         nm = int(subs.size)
         bucket = _bucket(max(nm, 1))
@@ -182,7 +227,7 @@ class DeviceProfileIndex:
             self.sub._sst_d, self.sub._sen_d, self.sub._gids_d,
             jnp.asarray(rpad), jnp.asarray(apad),
             jnp.asarray(np.int32(nm)),
-            nref=self.nref, npost=self.sub.npost)
+            nref=self.nref, npost=int(self.sub._gids_d.shape[0]))
         counts = np.asarray(counts).astype(np.int64)
         # C-double percentile window bounds from the fetched counts
         i0 = (counts * st_pctl).astype(np.int64)       # (int)(cnt*st)
