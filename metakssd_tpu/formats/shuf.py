@@ -37,10 +37,16 @@ class DimShuffle:
         dim_start <= shuf[dim_tup] < dim_end; pfilter[i] =
         shuf[accept_tups[i]] - dim_start (reference iseq2comem.c:287-294).
         """
+        cached = getattr(self, "_accept_table", None)
+        if cached is not None:
+            return cached
         p = self.params
         keep = (self.shuffled_dim >= p.dim_start) & (self.shuffled_dim < p.dim_end)
         tups = np.nonzero(keep)[0].astype(np.uint32)      # already sorted
         pf = (self.shuffled_dim[tups] - p.dim_start).astype(np.uint32)
+        # memoized: the scan over the 16^subk shuffle is ~120 ms at
+        # subk=6 and callers (device_tables, accept_bitmask) repeat it
+        object.__setattr__(self, "_accept_table", (tups, pf))
         return tups, pf
 
     def accept_bitmask(self) -> np.ndarray:

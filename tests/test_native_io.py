@@ -172,6 +172,10 @@ def test_fused_sketch_engine_edge_cases(tmp_path):
             (SketchParams(k=8, subk=5, drlevel=2), 0, True, False),
             (SketchParams(k=16, subk=6, drlevel=5), 0, False, False),
             (SketchParams(k=8, subk=5, drlevel=2), 40, False, True),
+            # TL=24: right at the 8-lane extraction envelope boundary
+            # (m0 + 14 + 2*TL <= 64 only for some block alignments)
+            (SketchParams(k=12, subk=7, drlevel=4), 0, False, False),
+            (SketchParams(k=9, subk=5, drlevel=2), 0, False, False),
     ):
         shuf = make_shuf(params, seed=9)
         fq = build_fq(str(tmp_path / "e.fq"), crlf=crlf,
