@@ -300,15 +300,26 @@ def _worker_abv(backend: str) -> dict:
 
 def _device_healthy(timeout_s: int = 240) -> bool:
     """Probe device execution in a subprocess (a wedged TPU tunnel hangs
-    forever).  Generous timeout: a cold tunnel has been observed to take
-    >200 s for its first dispatch."""
-    code = ("import jax, jax.numpy as jnp, numpy as np;"
-            "print(int(np.asarray(jnp.arange(8).sum())))")
+    forever).  Generous timeout for the FIRST dispatch (a cold tunnel
+    has been observed to take >200 s), but a *warm* trivial dispatch
+    must come back fast: a degraded tunnel (observed: ~58 s per warm
+    dispatch) passes a liveness check and then burns the whole worker
+    budget, so treat warm latency > 15 s as unhealthy and let the
+    native CPU engines carry the bench."""
+    code = ("import time, jax, jax.numpy as jnp, numpy as np;"
+            "np.asarray(jnp.arange(8).sum());"          # cold init
+            "t0 = time.time();"
+            "s = int(np.asarray(jnp.arange(9).sum()));"  # warm dispatch
+            "print(s, time.time() - t0)")
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0 and b"28" in r.stdout
-    except subprocess.TimeoutExpired:
+        if r.returncode != 0:
+            return False
+        parts = r.stdout.split()
+        return (len(parts) >= 2 and parts[0] == b"36"
+                and float(parts[1]) < 15.0)
+    except (subprocess.TimeoutExpired, ValueError):
         return False
 
 
