@@ -1180,11 +1180,71 @@ void fastseq_pack_range(const uint8_t* codes, int64_t size, int64_t start,
     }
 }
 
+// Exact "%f" (6 decimals) of a double: glibc rounds the true binary
+// value half-even at the 6th decimal, which for |v| in a safe range is
+// round_half_even(m * 5^6 << (e+6)) computed exactly in 128-bit
+// integers (v = m*2^e; x10^6 adds 2^6*5^6).  Out-of-range magnitudes
+// and non-finite values fall back to snprintf.  Returns bytes written
+// (never NUL-terminates), or 0 to request the snprintf fallback.
+static int fast_f6(char* out, double v) {
+    uint64_t bits;
+    memcpy(&bits, &v, 8);
+    int biased = (int)((bits >> 52) & 0x7FF);
+    uint64_t mant = bits & ((1ULL << 52) - 1);
+    if (biased == 0x7FF) return 0;                 // inf/nan
+    int e;
+    uint64_t m;
+    if (biased == 0) {                              // subnormal
+        m = mant;
+        e = -1074;
+    } else {
+        m = mant | (1ULL << 52);
+        e = biased - 1075;
+    }
+    // P = m * 5^6;  v*10^6 = P * 2^(e+6)
+    unsigned __int128 P = (unsigned __int128)m * 15625u;
+    int sh = e + 6;
+    unsigned __int128 D;
+    if (sh >= 0) {
+        if (sh > 50) return 0;                     // huge magnitude
+        D = P << sh;
+    } else {
+        int s = -sh;
+        if (s > 120) {
+            D = 0;                                 // rounds to 0.000000
+        } else {
+            unsigned __int128 I = P >> s;
+            unsigned __int128 frac = P - (I << s);
+            unsigned __int128 half = (unsigned __int128)1 << (s - 1);
+            D = I + (frac > half || (frac == half && (I & 1)));
+        }
+    }
+    if (D > (unsigned __int128)9000000000000000000ULL) return 0;
+    uint64_t d = (uint64_t)D;
+    char* p = out;
+    if (bits >> 63) *p++ = '-';
+    uint64_t ip = d / 1000000u, fp = d % 1000000u;
+    char tmp[20];
+    int n = 0;
+    do {
+        tmp[n++] = (char)('0' + ip % 10);
+        ip /= 10;
+    } while (ip);
+    while (n) *p++ = tmp[--n];
+    *p++ = '.';
+    for (int i = 5; i >= 0; i--) {
+        p[i] = (char)('0' + fp % 10);
+        fp /= 10;
+    }
+    p += 6;
+    return (int)(p - out);
+}
+
 // Bulk "name\tvalue\n" line formatting (glibc %f, exactly what the
 // reference's printf emits, command_composite.c:322-346).  Python-side
 // float formatting is the hot loop of abv_search when a query touches
-// most samples; snprintf here is ~5x faster.  Returns bytes written,
-// or -1 if out_cap would overflow.
+// most samples; fast_f6 (exact, with snprintf fallback) is ~20x
+// snprintf.  Returns bytes written, or -1 if out_cap would overflow.
 int64_t format_name_float_lines(const char* names_blob,
                                 const int64_t* name_off,
                                 const int32_t* order, const double* vals,
@@ -1198,11 +1258,17 @@ int64_t format_name_float_lines(const char* names_blob,
         memcpy(p, names_blob + name_off[s], (size_t)len);
         p += len;
         *p++ = '\t';
-        int w = snprintf(p, (size_t)(end - p), "%f\n", vals[i]);
-        // w == end-p means snprintf truncated (NUL overwrote the last
-        // byte), so treat exactly-full as overflow too.
-        if (w < 0 || w >= end - p) return -1;
+        int w = 0;
+        if (end - p >= 32) w = fast_f6(p, vals[i]);
+        if (w == 0) {
+            w = snprintf(p, (size_t)(end - p), "%f", vals[i]);
+            // w == end-p means snprintf truncated (NUL overwrote the
+            // last byte), so treat exactly-full as overflow too.
+            if (w < 0 || w >= end - p) return -1;
+        }
         p += w;
+        if (p >= end) return -1;
+        *p++ = '\n';
     }
     return p - out;
 }

@@ -270,3 +270,30 @@ def test_bgzf_parallel_inflate_parity(tmp_path, monkeypatch):
     monkeypatch.delenv("MKSSD_NO_BGZF")
     np.testing.assert_array_equal(np.sort(got_par), np.sort(want))
     np.testing.assert_array_equal(np.sort(got_ser), np.sort(want))
+
+
+@needs_native
+def test_fast_f6_formatter_matches_printf():
+    """format_name_float_lines' fixed-6 formatter (fast_f6) must be
+    correctly-rounded %f: exact half-even at the 6th decimal, negative
+    zero, subnormals, and the big-magnitude snprintf fallback."""
+    rng = np.random.default_rng(1)
+    vals = np.concatenate([
+        rng.random(200_000) * 100,
+        -rng.random(20_000) * 100,
+        rng.random(20_000) * 1e-5,
+        rng.random(20_000) * 1e13,
+        rng.random(5_000) * 1e16,          # fallback range
+        np.array([0.0, -0.0, 0.5e-6, 1.5e-6, 2.5e-6, -2.5e-6,
+                  np.pi, 1e15, -1e15, 5e-7, 1.0000005]),
+        np.arange(1, 2001, 2) / 2e6,       # exact .5-ULP decimal ties
+    ])
+    blob = b"x" * vals.size
+    off = np.arange(vals.size + 1, dtype=np.int64)
+    order = np.arange(vals.size, dtype=np.int32)
+    buf = native.format_name_float_lines(blob, off, order,
+                                         vals.astype(np.float64))
+    lines = buf.split(b"\n")[:-1]
+    assert len(lines) == vals.size
+    for v, ln in zip(vals.tolist(), lines):
+        assert ln == b"x\t" + ("%f" % v).encode(), (v, ln)
