@@ -53,7 +53,11 @@ class SubrowTable:
     device-staged start/end/gid arrays), shared by the profiling and
     dist device reductions."""
 
-    def __init__(self, starts: np.ndarray, gid_sorted: np.ndarray):
+    def __init__(self, starts: np.ndarray, gid_sorted: np.ndarray,
+                 sharding=None):
+        """sharding: optional jax Sharding for the staged arrays (pass a
+        replicated NamedSharding on a multi-device mesh so shard_map
+        consumers don't reshard per dispatch)."""
         starts = np.asarray(starts, np.int64)
         lens = np.diff(starts)
         nsub_row = -(-lens // SUBW)                       # 0 for empty rows
@@ -72,9 +76,11 @@ class SubrowTable:
         if nsub == 0:                     # dummy empty subrow: gathers
             sst = np.zeros(1, np.int64)   # stay in-bounds, en-st == 0
             sen = np.zeros(1, np.int64)   # masks everything invalid
-        self._sst_d = jax.device_put(sst.astype(np.int32))
-        self._sen_d = jax.device_put(sen.astype(np.int32))
-        self._gids_d = jax.device_put(
+        put = (lambda a: jax.device_put(a, sharding)) if sharding \
+            else jax.device_put
+        self._sst_d = put(sst.astype(np.int32))
+        self._sen_d = put(sen.astype(np.int32))
+        self._gids_d = put(
             np.asarray(gid_sorted, np.int32) if self.npost
             else np.zeros(1, np.int32))
 

@@ -174,7 +174,9 @@ def _expansion_shared_counts(ref, qry, mesh: Mesh) -> np.ndarray:
         inv = mco_fmt.InvertedIndex.from_codir(ref, c)
         if inv.kmers.size == 0:
             continue
-        sub = SubrowTable(inv.offsets.astype(np.int64), inv.gids)
+        from jax.sharding import NamedSharding
+        sub = SubrowTable(inv.offsets.astype(np.int64), inv.gids,
+                          sharding=NamedSharding(mesh, P()))
         rk = np.asarray(inv.kmers)
         prepped = []
         for q in range(nqry):
