@@ -306,10 +306,15 @@ def _device_healthy(timeout_s: int = 240) -> bool:
     dispatch) passes a liveness check and then burns the whole worker
     budget, so treat warm latency > 15 s as unhealthy and let the
     native CPU engines carry the bench."""
+    # warm with the EXACT computation shape so the timed rep is a pure
+    # dispatch+readback (a fresh shape would recompile through the
+    # tunnel, ~tens of seconds, and misclassify a healthy device);
+    # fresh input data per rep so the dispatch is not served from cache
     code = ("import time, jax, jax.numpy as jnp, numpy as np;"
-            "np.asarray(jnp.arange(8).sum());"          # cold init
+            "f = jax.jit(lambda x: x.sum());"
+            "np.asarray(f(jnp.arange(8)));"              # cold compile
             "t0 = time.time();"
-            "s = int(np.asarray(jnp.arange(9).sum()));"  # warm dispatch
+            "s = int(np.asarray(f(jnp.arange(8) + 1)));"  # warm dispatch
             "print(s, time.time() - t0)")
     try:
         r = subprocess.run([sys.executable, "-c", code],
@@ -318,7 +323,7 @@ def _device_healthy(timeout_s: int = 240) -> bool:
             return False
         parts = r.stdout.split()
         return (len(parts) >= 2 and parts[0] == b"36"
-                and float(parts[1]) < 15.0)
+                and float(parts[1]) < 15.0)  # sum(1..8) == 36
     except (subprocess.TimeoutExpired, ValueError):
         return False
 

@@ -195,6 +195,8 @@ def stream_fastq(path: str, min_qual: int = 0,
     try:
         while True:
             nreads = lib.fastseq_stream_next(h, max_bases)
+            if nreads < 0:
+                raise OSError(f"fastseq: decode error reading {path}")
             if nreads == 0:
                 break
             n = lib.fastseq_stream_n_codes(h)
@@ -279,7 +281,7 @@ def sketch_fastq(path: str, shuf, accept=None, min_qual: int = 0,
         int(nthreads), ctypes.byref(n_reads), ctypes.byref(n_bases),
         ctypes.byref(out_ptr))
     if n < 0:
-        raise OSError(f"fastseq: cannot open {path}")
+        raise OSError(f"fastseq: cannot open or decode {path}")
     if n == 0:
         if out_ptr:
             lib.sketch_cpu_free(out_ptr)

@@ -166,7 +166,11 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
             lv = jnp.where(right, lv, val)
             off += nrow
         last = accept_ref[n_accept // LANES - 1, LANES - 1]
-        hit = (lv == dim) | ((pos == n_accept - 1) & (last == dim))
+        # pos == n-1 iff the all-right path, which is exactly when lv
+        # kept its 0xFFFFFFFF sentinel — selecting on pos (not on the
+        # sentinel value) keeps the check correct even if dim could ever
+        # reach 2^32-1 (no reliance on the subk<8 invariant elsewhere)
+        hit = jnp.where(pos == n_accept - 1, last == dim, lv == dim)
     else:
         rows = [accept_ref[v, :] for v in range(n_accept // LANES)]
         pos = jnp.zeros((RWIN, LANES), jnp.int32)

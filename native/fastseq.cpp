@@ -255,6 +255,10 @@ static bool bgzf_scan(const char* data, int64_t size,
         const uint8_t* x = h + 12;
         while (p + 4 <= xlen) {
             int slen = x[p + 2] | (x[p + 3] << 8);
+            // payload must fit inside the extra area before we read it
+            // (a truncated FEXTRA at the end of the mapping would
+            // otherwise read past the mmap -> SIGBUS on aligned files)
+            if (p + 4 + slen > xlen) return false;
             if (x[p] == 'B' && x[p + 1] == 'C' && slen == 2) {
                 bsize = (x[p + 4] | (x[p + 5] << 8)) + 1;
                 break;
@@ -278,7 +282,12 @@ static int64_t bgzf_inflate(const char* data, const BgzfBlock& b,
     if (b.csize < hdr + 8) return -1;
     uint32_t isize;
     memcpy(&isize, data + b.off + b.csize - 4, 4);
-    if (dst.size() < isize) dst.resize(isize ? isize : 1);
+    // isize==0 (the BGZF EOF member) still needs a non-NULL next_out:
+    // a fresh slot's empty vector has data()==NULL and zlib returns
+    // Z_STREAM_ERROR on it, which used to poison small (<16-member)
+    // files whose EOF block landed on a never-used ring slot.
+    if (dst.size() < (size_t)(isize ? isize : 1))
+        dst.resize(isize ? isize : 1);
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, -15) != Z_OK) return -1;
@@ -355,8 +364,10 @@ class Source {
             cv_fill_.wait(lk, [this] {
                 return nfill_ > 0 || done_ || err_;
             });
-            if (err_) return -1;
-            if (nfill_ == 0) break;           // done_ and drained
+            if (nfill_ == 0) {                // drained: clean EOF or err
+                if (err_) return -1;
+                break;
+            }
             Chunk& c = ring_[head_];
             size_t take = c.len - c.off;
             if (take > cap - got) take = cap - got;
@@ -422,7 +433,10 @@ class Source {
             }
             int64_t n = bgzf_inflate(mf_.data, blocks_[bi], s.buf);
             std::lock_guard<std::mutex> g(mu_);
-            if (n < 0) { err_ = true; }
+            if (n < 0) {
+                err_ = true;
+                if (bi < err_block_) err_block_ = bi;
+            }
             s.len = n < 0 ? 0 : n;
             s.off = 0;
             s.id = bi;
@@ -435,8 +449,13 @@ class Source {
         while (got < cap && next_ < (int64_t)blocks_.size()) {
             Slot& s = slots_[next_ % NSLOTS];
             std::unique_lock<std::mutex> lk(mu_);
-            cv_fill_.wait(lk, [&] { return err_ || s.id == next_; });
-            if (err_) return -1;
+            // honor a decode error only once every block BEFORE the
+            // failed one has been drained — a bad later block must not
+            // discard valid decoded data ahead of it
+            cv_fill_.wait(lk, [&] {
+                return s.id == next_ || (err_ && next_ >= err_block_);
+            });
+            if (err_ && next_ >= err_block_) return -1;
             size_t take = (size_t)(s.len - s.off);
             if (take > cap - got) take = cap - got;
             lk.unlock();
@@ -476,6 +495,7 @@ class Source {
     std::vector<Slot> slots_;
     std::vector<std::thread> workers_;
     int64_t next_ = 0, consumed_ = 0;
+    int64_t err_block_ = INT64_MAX;   // lowest block index that failed
 };
 
 class FqChunker {
@@ -543,7 +563,11 @@ class FqChunker {
         if (len_ == buf_.size()) buf_.resize(buf_.size() * 2);
         int64_t nread = src_.read(buf_.data() + len_,
                                   buf_.size() - len_);
-        if (nread <= 0) { eof_ = true; return false; }
+        if (nread <= 0) {
+            eof_ = true;
+            if (nread < 0) err_ = true;   // decode error, NOT clean EOF
+            return false;
+        }
         len_ += (size_t)nread;
         index_newlines();
         return true;
@@ -551,6 +575,7 @@ class FqChunker {
 
     const char* data() const { return buf_.data(); }
     bool at_eof() const { return eof_ && pos_ >= len_; }
+    bool error() const { return err_; }
 
   private:
     // Index newlines in the newly read region [scanned_, len_) — one
@@ -599,7 +624,7 @@ class FqChunker {
     Source src_;
     std::vector<char> buf_;
     size_t len_ = 0, pos_ = 0;
-    bool eof_ = false;
+    bool eof_ = false, err_ = false;
     std::vector<int64_t> nls_;
     size_t nl_pos_ = 0;
     int64_t scanned_ = 0;
@@ -935,6 +960,7 @@ void* fastseq_parse_fastq(const char* path, int min_qual) {
                         res->starts);
         if (st == FqChunker::AT_EOF) break;
         if (st == FqChunker::NEED_MORE && !c.refill()) {
+            if (c.error()) { delete res; return nullptr; }  // bad gz
             // EOF hit: one final scan consumes the newline-less tail
             recs.clear();
             c.scan(INT64_MAX, recs, &bases);
@@ -987,6 +1013,7 @@ int64_t fastseq_stream_next(void* h, int64_t max_bases) {
         if (st == FqChunker::BATCH_FULL) break;
         if (st == FqChunker::AT_EOF) { s->done = true; break; }
         if (!s->chunker.refill()) {
+            if (s->chunker.error()) { s->done = true; return -1; }
             recs.clear();
             s->chunker.scan(max_bases, recs, &bases);
             translate_batch(s->chunker.data(), recs, s->min_qual,
@@ -1138,6 +1165,7 @@ int64_t fastseq_sketch_file(const char* path, int min_qual,
         if (st == FqChunker::AT_EOF) {
             done = true;
         } else if (st == FqChunker::NEED_MORE && !c.refill()) {
+            if (c.error()) return -1;   // bad gz: fail, don't truncate
             recs.clear();
             c.scan(INT64_MAX, recs, &bases);
             process(recs);

@@ -273,6 +273,66 @@ def test_bgzf_parallel_inflate_parity(tmp_path, monkeypatch):
 
 
 @needs_native
+def test_bgzf_small_file_eof_member(tmp_path):
+    """A bgzip file with few members (<= ring size) maps the zero-length
+    EOF member onto a NEVER-used ring slot, whose empty buffer used to
+    give zlib a NULL next_out -> silent empty sketch (advisor r3 high).
+    Cover 1..4 data blocks + EOF member."""
+    from metakssd_tpu.formats.shuf import make_shuf
+    from metakssd_tpu.params import SketchParams
+
+    rng = np.random.default_rng(23)
+    g = random_seq(rng, 9000)
+    reads = reads_from_genome(rng, g, 60, 120)
+    plain = b""
+    for i, r in enumerate(reads):
+        plain += f"@r{i}\n{r}\n+\n{'I' * len(r)}\n".encode()
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=5)
+    fq = str(tmp_path / "s.fq")
+    with open(fq, "wb") as f:
+        f.write(plain)
+    want = native.sketch_fastq(fq, shuf)
+    assert want.size > 0
+    for nblocks in (1, 2, 4):
+        bg = str(tmp_path / f"s{nblocks}.fq.gz")
+        with open(bg, "wb") as f:
+            f.write(_bgzf_compress(plain, -(-len(plain) // nblocks)))
+        got = native.sketch_fastq(bg, shuf)
+        np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
+@needs_native
+def test_bgzf_corrupt_member_raises(tmp_path):
+    """A corrupt BGZF member must raise, not silently truncate the
+    input (advisor r3 medium: nread<0 was treated as clean EOF)."""
+    from metakssd_tpu.formats.shuf import make_shuf
+    from metakssd_tpu.params import SketchParams
+
+    rng = np.random.default_rng(29)
+    g = random_seq(rng, 30000)
+    reads = reads_from_genome(rng, g, 800, 120)
+    plain = b""
+    for i, r in enumerate(reads):
+        plain += f"@r{i}\n{r}\n+\n{'I' * len(r)}\n".encode()
+    data = bytearray(_bgzf_compress(plain, 1500))
+    # corrupt a mid-file member deterministically: walk the BC chain to
+    # the 3rd member and flip its stored isize (inflate then sees
+    # got != isize and must report an error, not truncate)
+    off = 0
+    for _ in range(2):
+        off += (data[off + 16] | (data[off + 17] << 8)) + 1
+    bsize = (data[off + 16] | (data[off + 17] << 8)) + 1
+    data[off + bsize - 4] ^= 0xFF
+    bg = str(tmp_path / "c.fq.gz")
+    with open(bg, "wb") as f:
+        f.write(bytes(data))
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=5)
+    import pytest
+    with pytest.raises(OSError):
+        native.sketch_fastq(bg, shuf)
+
+
+@needs_native
 def test_fast_f6_formatter_matches_printf():
     """format_name_float_lines' fixed-6 formatter (fast_f6) must be
     correctly-rounded %f: exact half-even at the 6th decimal, negative
