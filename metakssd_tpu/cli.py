@@ -24,6 +24,11 @@ import numpy as np
 def _cmd_shuffle(args) -> int:
     from metakssd_tpu.params import SketchParams
     from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+    if args.usedefault:
+        # reference command_shuffle.c:31,94: force the prokaryote
+        # defaults (k=8, s=5, l=2) regardless of other flags
+        print("use default values for all options")
+        args.halfKmerLen, args.halfSubstrLen, args.level = 8, 5, 2
     p = SketchParams(k=args.halfKmerLen, subk=args.halfSubstrLen,
                      drlevel=args.level)
     p.validate()
@@ -89,12 +94,27 @@ def _cmd_dist(args) -> int:
                 mut_dist_max=args.mutDist_max, num_neigb=args.neighborN_max,
                 keep_shared_kmer=args.keepskf,
                 shared_kmerpath=args.skf)
-            if not has(queries[0], CO_DSTAT):
-                sys.exit("query must be a sketch dir (run dist -L ... "
-                         "<seqs> first)")
-            dist.run_dist_search(ref, queries[0], outdir, dopts,
+            qdir, tmp_q = queries[0], None
+            if not has(qdir, CO_DSTAT):
+                # fas/fq direct query: the reference declares this branch
+                # but never implemented it (command_dist.c:180-182 empty
+                # body).  With a .shuf via -L we can sketch-then-search.
+                if args.DimRdcLevel and os.path.isfile(args.DimRdcLevel) \
+                        and all(os.path.isfile(q) for q in queries):
+                    shuf = _shuf()
+                    inputs = pipeline.organize_infiles(queries, args.list)
+                    qdir = tmp_q = os.path.join(outdir, "qry.co")
+                    pipeline.run_stage1(inputs, shuf, qdir, opts)
+                else:
+                    sys.exit("query must be a sketch dir (run dist -L ... "
+                             "<seqs> first), or pass seq files together "
+                             "with -L <.shuf> to sketch-and-search")
+            dist.run_dist_search(ref, qdir, outdir, dopts,
                                  shard_db=args.shard_db,
                                  max_mem_gb=args.maxMemory)
+            if tmp_q is not None and not args.keepcofile:
+                import shutil
+                shutil.rmtree(tmp_q, ignore_errors=True)
         return 0
 
     # no -r: sketching only
@@ -121,6 +141,8 @@ def _cmd_dist(args) -> int:
 
 def _cmd_set(args) -> int:
     from metakssd_tpu import setops
+    from metakssd_tpu.io import native as native_io
+    native_io.set_threads(args.threads)
     if args.union:
         setops.sketch_union(args.insketch, args.outdir)
     elif args.uniq_union:
@@ -145,6 +167,8 @@ def _cmd_set(args) -> int:
 
 def _cmd_composite(args) -> int:
     from metakssd_tpu import composite
+    from metakssd_tpu.io import native as native_io
+    native_io.set_threads(args.threads)
     if args.ref and args.query:
         kw = {} if args.min_km_s is None else {"min_km_s": args.min_km_s}
         composite.get_species_abundance(
@@ -186,6 +210,9 @@ def build_parser() -> argparse.ArgumentParser:
     sh.add_argument("-s", "--halfSubstrLen", type=int, default=5)
     sh.add_argument("-l", "--level", type=int, default=2)
     sh.add_argument("-o", "--outfile", default="./default")
+    sh.add_argument("--usedefault", action="store_true",
+                    help="all options use default value (prokaryote "
+                         "genomes: k=8, s=5, l=2)")
     sh.add_argument("--seed", type=int, default=None)
     sh.set_defaults(func=_cmd_shuffle)
 
@@ -393,7 +420,14 @@ def _cmd_pp_ordcsv_subset(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except (ValueError, FileNotFoundError, IsADirectoryError,
+            NotADirectoryError) as e:
+        # one-line actionable diagnostics, like the reference's err()
+        # (command_dist.c:163-167) — not a Python traceback
+        print(f"metakssd_tpu: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -267,7 +267,10 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
                 tot = int(sums[rn_i])
                 cnt = int(counts[rn_i])
                 ln = int(lastn[rn_i])
-                avg = np.float32(tot) / np.float32(cnt)
+                # cnt==0 -> NaN on purpose (parity with the reference's
+                # 0/0); keep the warning channel clean for real issues
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    avg = np.float32(tot) / np.float32(cnt)
                 avg9899 = (np.float32(int(lastsum[rn_i])) / np.float32(ln)
                            if ln else np.float32("nan"))
                 return tot, avg, avg9899, int(median_a[rn_i]), \

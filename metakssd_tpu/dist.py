@@ -190,12 +190,16 @@ def _shared_counts_mco(ref: str, qry: CoDir, mstat: McoStat,
 
 
 def _check_compat(ref_shuf_id: int, ref_comp: int, qstat: CoStat) -> None:
+    # diagnostics word-for-word match the reference err() texts
+    # (command_dist.c:163-167) so users see the familiar hint
     if qstat.shuf_id != ref_shuf_id:
-        raise ValueError(f"qry shuf_id {qstat.shuf_id} does not match ref "
-                         f"shuf_id {ref_shuf_id}")
+        raise ValueError(
+            f"qry shuf_id: {qstat.shuf_id} not match ref shuf_id: "
+            f"{ref_shuf_id}\ntry regenerate .co dir and feed -L the .shuf "
+            f"file used to generate the ref database")
     if qstat.comp_num != ref_comp:
-        raise ValueError(f"qry comp_num {qstat.comp_num} does not match ref "
-                         f"comp_num {ref_comp}")
+        raise ValueError(f"qry comp_num: {qstat.comp_num} not match ref "
+                         f"comp_num: {ref_comp}")
 
 
 # --------------------------------------------------------------------------

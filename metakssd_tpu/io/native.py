@@ -49,6 +49,8 @@ def _load():
             return None
         if not hasattr(lib, "postings_group_stats"):
             return None
+    lib.fastseq_set_threads.restype = None
+    lib.fastseq_set_threads.argtypes = [ctypes.c_int]
     lib.fastseq_parse_fasta.restype = ctypes.c_void_p
     lib.fastseq_parse_fasta.argtypes = [ctypes.c_char_p]
     lib.fastseq_parse_fastq.restype = ctypes.c_void_p
@@ -160,6 +162,17 @@ def parse_fasta(path: str):
     if not h:
         raise OSError(f"fastseq: cannot open {path}")
     return _extract(lib, h)
+
+
+def set_threads(n: int) -> None:
+    """Cap OpenMP threads in every native kernel (CLI -p flag).  Also
+    exports OMP_NUM_THREADS so a lib loaded later starts capped."""
+    if n <= 0:
+        return
+    os.environ["OMP_NUM_THREADS"] = str(n)
+    lib = _load()
+    if lib is not None:
+        lib.fastseq_set_threads(int(n))
 
 
 def parse_fastq(path: str, min_qual: int = 0):

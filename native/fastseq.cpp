@@ -926,6 +926,16 @@ int64_t sketch_file_sharded(const MappedFile& mf, int min_qual,
 
 extern "C" {
 
+// Cap the OpenMP thread count for every native kernel in this library
+// (the CLI -p flag; reference threads its hot loops the same way,
+// command_dist_wrapper.c:45).
+void fastseq_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#endif
+    (void)n;
+}
+
 // Opaque handle API: parse into an internal result, query sizes, copy
 // out, free.
 void* fastseq_parse_fasta(const char* path) {

@@ -137,3 +137,71 @@ def test_dist_m_memmap_matches(tmp_path):
     cli.main(["dist", "-r", co, "-m", "1e-9", "-o", d2, qco])
     assert open(f"{d1}/distance.out").read() == \
         open(f"{d2}/distance.out").read()
+
+
+def test_shuffle_usedefault(tmp_path, capsys):
+    """--usedefault forces k=8/s=5/l=2 and announces it
+    (command_shuffle.c:31,94)."""
+    out = str(tmp_path / "d")
+    rc = cli.main(["shuffle", "--usedefault", "-k", "9", "-s", "6",
+                   "-l", "3", "-o", out, "--seed", "4"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "use default values for all options" in text
+    from metakssd_tpu.formats.shuf import read_shuf
+    p = read_shuf(out + ".shuf").params
+    assert (p.k, p.subk, p.drlevel) == (8, 5, 2)
+
+
+def test_cli_friendly_shuf_mismatch(tmp_path, capsys):
+    """Incompatible shuf ids print the reference-style one-liner, not a
+    traceback (command_dist.c:163-167)."""
+    rng = np.random.default_rng(21)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    from tests.util import write_fasta
+    write_fasta(str(gdir / "g.fa"), [random_seq(rng, 20000)])
+    sa, sb = str(tmp_path / "a.shuf"), str(tmp_path / "b.shuf")
+    write_shuf(sa, make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=1))
+    write_shuf(sb, make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=2))
+    co_a, co_b = str(tmp_path / "a"), str(tmp_path / "b")
+    cli.main(["dist", "-L", sa, "-o", co_a, str(gdir)])
+    cli.main(["dist", "-L", sb, "-o", co_b, str(gdir)])
+    rc = cli.main(["dist", "-r", co_a, "-o", str(tmp_path / "d"), co_b])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "not match ref shuf_id" in err
+    assert "Traceback" not in err
+
+
+def test_dist_sketch_then_search(tmp_path):
+    """Seq-file query + -L <.shuf> in db-search mode sketches then
+    searches in one run — the branch the reference declares but left
+    empty (command_dist.c:180-182)."""
+    import os
+    rng = np.random.default_rng(31)
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    from tests.util import write_fasta
+    gs = [random_seq(rng, 30000) for _ in range(2)]
+    for i, g in enumerate(gs):
+        write_fasta(str(gdir / f"g{i}.fa"), [g])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=11))
+    co = str(tmp_path / "co")
+    cli.main(["dist", "-L", shufp, "-o", co, str(gdir)])
+    qfa = str(tmp_path / "q.fa")
+    write_fasta(qfa, [gs[0][:12000]])
+    # two-step baseline
+    qco = str(tmp_path / "qco")
+    cli.main(["dist", "-L", shufp, "-o", qco, qfa])
+    d_ref = str(tmp_path / "dref")
+    cli.main(["dist", "-r", co, "-o", d_ref, qco])
+    # one-shot sketch-and-search
+    d_one = str(tmp_path / "done")
+    rc = cli.main(["dist", "-L", shufp, "-r", co, "-o", d_one, qfa])
+    assert rc == 0
+    assert open(f"{d_one}/distance.out").read() == \
+        open(f"{d_ref}/distance.out").read()
+    assert not os.path.exists(os.path.join(d_one, "qry.co"))
