@@ -419,7 +419,10 @@ def _cmd_pp_ordcsv_subset(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from metakssd_tpu.utils import TIMER
     args = build_parser().parse_args(argv)
+    TIMER.reset()
+    TIMER.meta["command"] = args.command
     try:
         return args.func(args)
     except (ValueError, FileNotFoundError, IsADirectoryError,
@@ -428,6 +431,9 @@ def main(argv: list[str] | None = None) -> int:
         # (command_dist.c:163-167) — not a Python traceback
         print(f"metakssd_tpu: {e}", file=sys.stderr)
         return 1
+    finally:
+        # one structured line per CLI run when MKSSD_LOG=json
+        TIMER.report()
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -187,9 +188,11 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
     (1 = single device, postings staged device-resident); output stays
     byte-identical to the serial path."""
     import sys
+    from metakssd_tpu.utils import TIMER
     out = out or sys.stdout
-    ref = CoDir.read(refdir, want_abund=False)
-    qry = CoDir.read(qrydir)
+    with TIMER.stage("composite.load"):
+        ref = CoDir.read(refdir, want_abund=False)
+        qry = CoDir.read(qrydir)
     if qry.abund is None:
         raise ValueError("get_species_abundance(): query has not abundance")
     if qry.stat.shuf_id != ref.stat.shuf_id:
@@ -198,7 +201,10 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
 
     nref = ref.stat.infile_num
     # per-component match index (staged once per MarkerDB, then reused)
-    comp_idx = stage_markerdb(refdir, ref)
+    with TIMER.stage("composite.stage_markerdb"):
+        comp_idx = stage_markerdb(refdir, ref)
+    TIMER.count("composite.queries", qry.stat.infile_num)
+    TIMER.count("composite.refs", nref)
     if shard_db >= 1:
         from metakssd_tpu.parallel import mesh as pmesh
         m = pmesh.make_mesh(n_data=1, n_db=shard_db)
@@ -228,6 +234,7 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
 
     use_pallas = None if use_device else False
     for qn in range(qry.stat.infile_num):
+        _t0 = time.time()   # per-query match+stats+write (summed in report)
         stats = None
         if dpi is not None:
             pcq = []
@@ -319,6 +326,7 @@ def get_species_abundance(refdir: str, qrydir: str, outdir: str = "./",
             os.makedirs(vdir, exist_ok=True)
             base = os.path.basename(qry.stat.names[qn])
             write_abv_file(os.path.join(vdir, base + ".abv"), idxs, pcts)
+        TIMER.stages.append(("composite.profile", time.time() - _t0))
 
 
 # --------------------------------------------------------------------------

@@ -350,15 +350,19 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
     is accumulated directly into the memory-mapped sharedk_ct.dat
     (the reference's -m batching, command_dist.c:948-1000).
     """
+    from metakssd_tpu.utils import TIMER
     opts = opts or DistOptions()
-    qry = CoDir.read(qry_path, want_abund=False)
-    is_mco = os.path.exists(os.path.join(ref_path, "mcofiles.stat"))
-    if is_mco:
-        rstat = McoStat.read(ref_path)
-        ref_names, ref_ctx = rstat.names, rstat.ctx_ct
-    else:
-        cstat = CoStat.read(ref_path)
-        ref_names, ref_ctx = cstat.names, cstat.ctx_ct
+    with TIMER.stage("dist.load"):
+        qry = CoDir.read(qry_path, want_abund=False)
+        is_mco = os.path.exists(os.path.join(ref_path, "mcofiles.stat"))
+        if is_mco:
+            rstat = McoStat.read(ref_path)
+            ref_names, ref_ctx = rstat.names, rstat.ctx_ct
+        else:
+            cstat = CoStat.read(ref_path)
+            ref_names, ref_ctx = cstat.names, cstat.ctx_ct
+    TIMER.count("dist.queries", qry.stat.infile_num)
+    TIMER.count("dist.refs", len(ref_names))
     if opts.shared_kmerpath:
         matrix = load_sharedk(opts.shared_kmerpath, qry.stat.infile_num,
                               len(ref_names))
@@ -366,7 +370,8 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
         if shard_db >= 1 and not is_mco:
             from metakssd_tpu.parallel import mesh as pmesh
             m = pmesh.make_mesh(n_data=1, n_db=shard_db)
-            matrix = pmesh.sharded_shared_counts(ref_path, qry, m)
+            with TIMER.stage("dist.shared_counts"):
+                matrix = pmesh.sharded_shared_counts(ref_path, qry, m)
             skf = save_sharedk(matrix, outdir)
         else:
             qnum, rnum = qry.stat.infile_num, len(ref_names)
@@ -379,15 +384,17 @@ def run_dist_search(ref_path: str, qry_path: str, outdir: str,
                 matrix[:] = 0
             else:
                 matrix = np.zeros((qnum, rnum), dtype=np.uint32)
-            shared_kmer_matrix(ref_path, qry, use_device=use_device,
-                               out=matrix)
+            with TIMER.stage("dist.shared_counts"):
+                shared_kmer_matrix(ref_path, qry, use_device=use_device,
+                                   out=matrix)
             if isinstance(matrix, np.memmap):
                 matrix.flush()
             else:
                 save_sharedk(matrix, outdir)
-    path = write_distance_out(
-        matrix, ref_names, qry.stat.names, ref_ctx, qry.stat.ctx_ct,
-        qry.stat.kmerlen, qry.stat.dim_rd_len, outdir, opts)
+    with TIMER.stage("dist.write_output"):
+        path = write_distance_out(
+            matrix, ref_names, qry.stat.names, ref_ctx, qry.stat.ctx_ct,
+            qry.stat.kmerlen, qry.stat.dim_rd_len, outdir, opts)
     if not opts.keep_shared_kmer and not opts.shared_kmerpath:
         os.remove(skf)
     return path

@@ -138,8 +138,11 @@ def build_mco(co_dir: str, mco_dir: str,
     cd = CoDir.read(co_dir, want_abund=False)
     stat = McoStat.from_costat(cd.stat)
     os.makedirs(mco_dir, exist_ok=True)
+    from metakssd_tpu.utils import TIMER
     for c in range(cd.stat.comp_num):
-        inv = InvertedIndex.from_codir(cd, c)
-        write_mco_component(mco_dir, c, inv, comp_space)
+        with TIMER.stage("stage2.invert"):
+            inv = InvertedIndex.from_codir(cd, c)
+        with TIMER.stage("stage2.write"):
+            write_mco_component(mco_dir, c, inv, comp_space)
     stat.write(mco_dir)
     return stat

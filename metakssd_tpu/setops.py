@@ -11,6 +11,7 @@ line up across toolchains.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import numpy as np
@@ -21,10 +22,23 @@ from metakssd_tpu.formats.codir import (CoDir, SKCH_PREFIX, IDX_PREFIX,
 from metakssd_tpu.params import LD_FCTR
 
 
+def _timed(name: str):
+    """Record the whole operation as one TIMER stage (MKSSD_LOG)."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrap(*a, **k):
+            from metakssd_tpu.utils import TIMER
+            with TIMER.stage(name):
+                return fn(*a, **k)
+        return wrap
+    return deco
+
+
 # --------------------------------------------------------------------------
 # unions
 # --------------------------------------------------------------------------
 
+@_timed("set.union")
 def sketch_union(insketch: str, outdir: str) -> None:
     """-u: union of all sketches -> pan.c (reference command_set.c:241-319)."""
     cd = CoDir.read(insketch, want_abund=False)
@@ -35,6 +49,7 @@ def sketch_union(insketch: str, outdir: str) -> None:
         pan.astype(np.uint32).tofile(os.path.join(outdir, f"{PAN_PREFIX}.{c}"))
 
 
+@_timed("set.uniq_union")
 def uniq_sketch_union(insketch: str, outdir: str) -> None:
     """-q: k-mers present in exactly one genome -> uniq_pan.c
     (reference command_set.c:427-512)."""
@@ -67,6 +82,7 @@ def _in_sorted(sorted_set: np.ndarray, vals: np.ndarray) -> np.ndarray:
     return sorted_set[pos] == vals
 
 
+@_timed("set.operate")
 def sketch_operate(insketch: str, pan_dir: str, outdir: str,
                    intersect: bool) -> None:
     """-s (subtract) / -i (intersect) every genome against a pan sketch,
@@ -107,6 +123,7 @@ def sketch_operate(insketch: str, pan_dir: str, outdir: str,
 # combine pan dirs into a multi-genome sketch
 # --------------------------------------------------------------------------
 
+@_timed("set.combine_pans")
 def combine_pans(pan_dirs: list[str], outdir: str) -> None:
     """-c: each pan dir becomes one genome of a combined sketch
     (reference command_set.c:515-608)."""
@@ -213,6 +230,7 @@ def organize_taxf(taxfile: str) -> list[tuple[int, str | None, list[int]]]:
     return [s for s in slots if s is not None]
 
 
+@_timed("set.grouping")
 def grouping_genomes(insketch: str, taxfile: str, outdir: str) -> None:
     """-g: per-taxon union pan-sketches (reference grouping_genomes,
     command_set.c:831-974); taxid 0 is dropped."""

@@ -1,9 +1,10 @@
 """Observability: stage timers and structured logging.
 
 The reference had only printf progress lines and unused ms/µs helpers
-(mytime.c); here every pipeline stage can record wall time and counters,
-dumped as one JSON line for machine consumption or pretty text for
-humans.  Enable with MKSSD_LOG=1 (text) or MKSSD_LOG=json.
+(mytime.c); here the pipeline stages (stage I sketch, stage II invert,
+dist search, composite profile, set algebra) record wall time and
+counters through the global TIMER, dumped as one JSON line per CLI run
+(MKSSD_LOG=json) or pretty text (MKSSD_LOG=1).
 """
 
 from __future__ import annotations
@@ -16,12 +17,32 @@ import time
 
 
 class StageTimer:
+    """Wall-time per named stage + named counters.
+
+    Env is consulted lazily (properties) so tests and long-lived
+    processes can flip MKSSD_LOG without rebuilding the singleton.
+    """
+
     def __init__(self, enabled: bool | None = None):
-        env = os.environ.get("MKSSD_LOG", "")
-        self.enabled = bool(env) if enabled is None else enabled
-        self.json_mode = env == "json"
+        self._forced = enabled
         self.stages: list[tuple[str, float]] = []
         self.counters: dict[str, float] = {}
+        self.meta: dict[str, str] = {}
+
+    @property
+    def enabled(self) -> bool:
+        if self._forced is not None:
+            return self._forced
+        return bool(os.environ.get("MKSSD_LOG", ""))
+
+    @property
+    def json_mode(self) -> bool:
+        return os.environ.get("MKSSD_LOG", "") == "json"
+
+    def reset(self) -> None:
+        self.stages.clear()
+        self.counters.clear()
+        self.meta.clear()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -38,8 +59,12 @@ class StageTimer:
         self.counters[name] = self.counters.get(name, 0) + value
 
     def report(self) -> dict:
-        rep = {"stages": {n: round(t, 4) for n, t in self.stages},
-               "counters": self.counters}
+        stages: dict[str, float] = {}
+        for n, t in self.stages:        # repeated stages sum their time
+            stages[n] = round(stages.get(n, 0.0) + t, 4)
+        rep = {"stages": stages, "counters": self.counters}
+        if self.meta:
+            rep["meta"] = dict(self.meta)
         if self.enabled and self.json_mode:
             print(json.dumps(rep), file=sys.stderr)
         return rep

@@ -223,3 +223,46 @@ def test_device_profile_stats_path(profiling_setup, monkeypatch):
         a = open(os.path.join(vdir_h, f), "rb").read()
         b = open(os.path.join(vdir_d, f), "rb").read()
         assert a == b, f
+
+
+@needs_oracle
+def test_observability_json_report(profiling_setup, monkeypatch, capsys):
+    """MKSSD_LOG=json emits one structured line naming every stage of a
+    composite profile CLI run (VERDICT r3: observability wiring)."""
+    import json
+    from metakssd_tpu import cli
+
+    tmp, refco, qco = profiling_setup
+    monkeypatch.setenv("MKSSD_LOG", "json")
+    rc = cli.main(["composite", "-r", refco, "-q", qco["sample0"],
+                   "-o", str(tmp / "obs_out")])
+    monkeypatch.delenv("MKSSD_LOG")
+    assert rc == 0
+    err_lines = [ln for ln in capsys.readouterr().err.splitlines()
+                 if ln.startswith("{")]
+    assert err_lines, "no JSON report emitted"
+    rep = json.loads(err_lines[-1])
+    assert rep["meta"]["command"] == "composite"
+    for stage in ("composite.load", "composite.stage_markerdb",
+                  "composite.profile"):
+        assert stage in rep["stages"], rep["stages"]
+    assert rep["counters"]["composite.queries"] == 1
+
+
+@needs_oracle
+def test_observability_dist_stages(profiling_setup, monkeypatch, capsys):
+    """dist search runs record load / shared_counts / write stages."""
+    import json
+    from metakssd_tpu import cli
+
+    tmp, refco, qco = profiling_setup
+    monkeypatch.setenv("MKSSD_LOG", "json")
+    rc = cli.main(["dist", "-r", refco, "-o", str(tmp / "obs_dist"),
+                   qco["sample0"]])
+    monkeypatch.delenv("MKSSD_LOG")
+    assert rc == 0
+    err_lines = [ln for ln in capsys.readouterr().err.splitlines()
+                 if ln.startswith("{")]
+    rep = json.loads(err_lines[-1])
+    for stage in ("dist.load", "dist.shared_counts", "dist.write_output"):
+        assert stage in rep["stages"], rep["stages"]
