@@ -421,6 +421,11 @@ def _cmd_pp_ordcsv_subset(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     from metakssd_tpu.utils import TIMER
     args = build_parser().parse_args(argv)
+    if os.environ.get("MKSSD_COORDINATOR"):
+        # multi-host launch (one process per host): join the JAX
+        # distributed runtime before any backend use
+        from metakssd_tpu.parallel import mesh as pmesh
+        pmesh.init_distributed()
     TIMER.reset()
     TIMER.meta["command"] = args.command
     try:

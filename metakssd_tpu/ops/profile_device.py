@@ -54,10 +54,12 @@ class SubrowTable:
     dist device reductions."""
 
     def __init__(self, starts: np.ndarray, gid_sorted: np.ndarray,
-                 sharding=None):
+                 sharding=None, put=None):
         """sharding: optional jax Sharding for the staged arrays (pass a
         replicated NamedSharding on a multi-device mesh so shard_map
-        consumers don't reshard per dispatch)."""
+        consumers don't reshard per dispatch).  put: optional staging
+        override (multi-host callers pass mesh.host_to_global — plain
+        device_put cannot target non-addressable devices)."""
         starts = np.asarray(starts, np.int64)
         lens = np.diff(starts)
         nsub_row = -(-lens // SUBW)                       # 0 for empty rows
@@ -76,8 +78,9 @@ class SubrowTable:
         if nsub == 0:                     # dummy empty subrow: gathers
             sst = np.zeros(1, np.int64)   # stay in-bounds, en-st == 0
             sen = np.zeros(1, np.int64)   # masks everything invalid
-        put = (lambda a: jax.device_put(a, sharding)) if sharding \
-            else jax.device_put
+        if put is None:
+            put = (lambda a: jax.device_put(a, sharding)) if sharding \
+                else jax.device_put
         self._sst_d = put(sst.astype(np.int32))
         self._sen_d = put(sen.astype(np.int32))
         self._gids_d = put(

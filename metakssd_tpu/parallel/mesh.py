@@ -10,29 +10,97 @@ The reference parallelises with OpenMP threads + mmap'd files on one node
   * partial sketches merge with all_gather, coverage/shared-count
     vectors merge with psum — deterministic integer reductions, so the
     result is bit-identical to the single-device path.
+
+Multi-host (DCN): ``init_distributed()`` joins the JAX distributed
+runtime; ``make_mesh`` then spans every host's devices with the ``data``
+axis over hosts (its collectives move only small merged results, fine
+for DCN) and the ``db`` axis within one host (posting scans ride ICI).
+Every process runs the same pipeline over the same (shared-filesystem)
+inputs; host arrays are staged with ``host_to_global`` and results come
+back fully replicated, so each process writes identical artifacts.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from metakssd_tpu.ops import sketch_xla
 
 UINT32_MAX = np.uint32(0xFFFFFFFF)
 
+_DISTRIBUTED = False
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Join the JAX distributed runtime for multi-host execution.
+
+    Args default to the MKSSD_COORDINATOR / MKSSD_NPROCS / MKSSD_PROCID
+    environment (so ``MKSSD_COORDINATOR=host0:1234 MKSSD_NPROCS=2
+    MKSSD_PROCID=$i metakssd_tpu dist ...`` on each host is all a
+    launcher needs).  Must run before any JAX backend use.  No-op
+    (returns False) when no coordinator is configured.  The reference
+    has no multi-node story at all (OpenMP only, Makefile:2); this is
+    the TPU-pod deployment shape of SURVEY §2.4.
+    """
+    global _DISTRIBUTED
+    if _DISTRIBUTED:
+        return True
+    coordinator = coordinator or os.environ.get("MKSSD_COORDINATOR")
+    if not coordinator:
+        return False
+    if num_processes is None:
+        num_processes = int(os.environ["MKSSD_NPROCS"])
+    if process_id is None:
+        process_id = int(os.environ["MKSSD_PROCID"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _DISTRIBUTED = True
+    return True
+
+
+def _multihost() -> bool:
+    return _DISTRIBUTED and jax.process_count() > 1
+
 
 def make_mesh(n_data: int | None = None, n_db: int = 1,
               devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    """(data, db) mesh.  Multi-host: devices order by (process, id) so a
+    reshape puts the db axis inside one host (n_db must divide the
+    per-host device count) and the data axis across hosts, and the mesh
+    always spans every host (all processes must participate in every
+    collective)."""
+    if devices is None:
+        devices = jax.devices()
+        if _multihost():
+            devices = sorted(devices,
+                             key=lambda d: (d.process_index, d.id))
+            n_data = len(devices) // n_db
     if n_data is None:
         n_data = len(devices) // n_db
     dev = np.asarray(devices[:n_data * n_db]).reshape(n_data, n_db)
     return Mesh(dev, axis_names=("data", "db"))
+
+
+def host_to_global(arr, mesh: Mesh, spec: P):
+    """Stage a host array (same full copy on every process) as a global
+    device array with the given PartitionSpec.  Single-process: plain
+    device_put.  Multi-process: each process contributes the shards its
+    local devices own, cut from its full host copy."""
+    s = NamedSharding(mesh, spec)
+    arr = np.asarray(arr)
+    if not _multihost():
+        return jax.device_put(arr, s)
+    return jax.make_array_from_callback(arr.shape, s,
+                                        lambda idx: arr[idx])
 
 
 def _sketch_shard(codes, accept_tups, pfilters, *, k, subk, drlevel,
@@ -118,7 +186,8 @@ _EXP_STEP_CACHE: dict = {}
 def _expansion_step(mesh: Mesh, num_refs: int):
     """Cached jitted shard_map step for _expansion_shared_counts (a
     per-call closure would recompile on every invocation)."""
-    key = (mesh, num_refs)
+    multihost = _multihost()
+    key = (mesh, num_refs, multihost)
     fn = _EXP_STEP_CACHE.get(key)
     if fn is not None:
         return fn
@@ -135,14 +204,18 @@ def _expansion_step(mesh: Mesh, num_refs: int):
             gs, jnp.arange(num_refs + 1, dtype=jnp.int32))
         cs = jnp.concatenate([jnp.zeros(1, jnp.uint32),
                               jnp.cumsum(ws, dtype=jnp.uint32)])
-        return (jnp.take(cs, bounds[1:])
-                - jnp.take(cs, bounds[:-1]))[None]
+        row = (jnp.take(cs, bounds[1:])
+               - jnp.take(cs, bounds[:-1]))[None]
+        if multihost:
+            return jax.lax.all_gather(row, "data", axis=0, tiled=True)
+        return row
 
     fn = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(P(None), P(None), P(None), P("data", None),
                   P("data", None), P("data", None)),
-        out_specs=P("data", None), check_vma=False))
+        out_specs=P(None, None) if multihost else P("data", None),
+        check_vma=False))
     _EXP_STEP_CACHE[key] = fn
     return fn
 
@@ -174,9 +247,10 @@ def _expansion_shared_counts(ref, qry, mesh: Mesh) -> np.ndarray:
         inv = mco_fmt.InvertedIndex.from_codir(ref, c)
         if inv.kmers.size == 0:
             continue
-        from jax.sharding import NamedSharding
         sub = SubrowTable(inv.offsets.astype(np.int64), inv.gids,
-                          sharding=NamedSharding(mesh, P()))
+                          sharding=NamedSharding(mesh, P()),
+                          put=(lambda a: host_to_global(a, mesh, P()))
+                          if _multihost() else None)
         rk = np.asarray(inv.kmers)
         prepped = []
         for q in range(nqry):
@@ -202,8 +276,9 @@ def _expansion_shared_counts(ref, qry, mesh: Mesh) -> np.ndarray:
                 wpad[r, :w.size] = w
                 nm[r, 0] = s.size
             cnt = stepf(sub._sst_d, sub._sen_d, sub._gids_d,
-                        jnp.asarray(spad), jnp.asarray(wpad),
-                        jnp.asarray(nm))
+                        host_to_global(spad, mesh, P("data", None)),
+                        host_to_global(wpad, mesh, P("data", None)),
+                        host_to_global(nm, mesh, P("data", None)))
             out[q0:q0 + len(batch)] += np.asarray(
                 cnt[:len(batch)], dtype=np.uint32)
     return out
@@ -268,16 +343,21 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
         b = jnp.clip(bounds[0] - off, 0, pk.shape[0])
         sb = s[b]
         partial = sb[1:] - sb[:-1]
-        return jax.lax.psum(partial, ("db",))[None]
+        row = jax.lax.psum(partial, ("db",))[None]
+        if multihost:
+            # replicate over the data axis so every process can read the
+            # whole matrix (tiny: n_data x num_refs u32 over DCN)
+            return jax.lax.all_gather(row, "data", axis=0, tiled=True)
+        return row
 
+    multihost = _multihost()
     from jax import shard_map
     stepf = jax.jit(shard_map(
         step, mesh=mesh,
         in_specs=(P(None, "db"), P(None, None), P("data", None),
                   P("data", None)),
-        out_specs=P("data", None), check_vma=False))
-
-    from jax.sharding import NamedSharding
+        out_specs=P(None, None) if multihost else P("data", None),
+        check_vma=False))
 
     for c in range(ref.stat.comp_num):
         inv = mco_fmt.InvertedIndex.from_codir(ref, c)
@@ -296,8 +376,9 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
                                  np.zeros(pad, np.uint32)])[None]
         # stage the postings device-resident ONCE per component — every
         # query then ships only its (small) sketch
-        post_k_d = jax.device_put(post_k, NamedSharding(mesh, P(None, "db")))
-        bounds_d = jnp.asarray(bounds.astype(np.int32)[None])
+        post_k_d = host_to_global(post_k, mesh, P(None, "db"))
+        bounds_d = host_to_global(bounds.astype(np.int32)[None], mesh,
+                                  P(None, None))
         qids_all = [np.sort(qry.genome_ids(c, q)) for q in range(nqry)]
         for q0 in range(0, nqry, n_data):
             batch = qids_all[q0:q0 + n_data]
@@ -312,8 +393,9 @@ def sharded_shared_counts(ref, qry, mesh: Mesh,
             for r, ids in enumerate(batch):
                 qpad[r, :ids.size] = ids
                 qlen[r, 0] = ids.size
-            cnt = stepf(post_k_d, bounds_d, jnp.asarray(qpad),
-                        jnp.asarray(qlen))
+            cnt = stepf(post_k_d, bounds_d,
+                        host_to_global(qpad, mesh, P("data", None)),
+                        host_to_global(qlen, mesh, P("data", None)))
             out[q0:q0 + len(batch)] += np.asarray(
                 cnt[:len(batch)], dtype=np.uint32)
     return out
@@ -346,9 +428,9 @@ class ShardedMatchIndex:
              np.full(pad, UINT32_MAX, np.uint32)])
         self.nk = nk
         self.per_dev = per_dev
-        self.rk_d = jax.device_put(
-            rk_pad, NamedSharding(mesh, P("db")))
+        self.rk_d = host_to_global(rk_pad, mesh, P("db"))
         from jax import shard_map
+        multihost = _multihost()
 
         def fn(rk_sh, qids, qlen):
             # local positions only (int32-safe even for >2^31 global
@@ -357,11 +439,19 @@ class ShardedMatchIndex:
             pos_c = jnp.minimum(pos, rk_sh.shape[0] - 1)
             member = ((rk_sh[pos_c] == qids)
                       & (jnp.arange(qids.shape[0]) < qlen[0]))
-            return member[None], pos_c[None].astype(jnp.int32)
+            member, pos_c = member[None], pos_c[None].astype(jnp.int32)
+            if multihost:
+                member = jax.lax.all_gather(member, "db", axis=0,
+                                            tiled=True)
+                pos_c = jax.lax.all_gather(pos_c, "db", axis=0,
+                                           tiled=True)
+            return member, pos_c
 
+        out = ((P(None, None), P(None, None)) if multihost
+               else (P("db", None), P("db", None)))
         self._step = jax.jit(shard_map(
             fn, mesh=mesh, in_specs=(P("db"), P(None), P(None)),
-            out_specs=(P("db", None), P("db", None)), check_vma=False))
+            out_specs=out, check_vma=False))
 
     def match(self, qids_s: np.ndarray, qab_s: np.ndarray, use_pallas
               ) -> tuple[np.ndarray, np.ndarray]:
@@ -372,8 +462,9 @@ class ShardedMatchIndex:
         qpad = np.full(bucket, UINT32_MAX, dtype=np.uint32)
         qpad[:nq] = qids_s
         member2d, lpos2d = self._step(
-            self.rk_d, jnp.asarray(qpad),
-            jnp.asarray(np.array([nq], np.int32)))
+            self.rk_d, host_to_global(qpad, self.mesh, P(None)),
+            host_to_global(np.array([nq], np.int32), self.mesh,
+                           P(None)))
         member2d = np.asarray(member2d)
         lpos2d = np.asarray(lpos2d)
         m_any = member2d.any(axis=0)[:nq]
@@ -425,6 +516,8 @@ def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,
     vmask = np.stack(vmask_rows)
     at, pf, am = shuf.device_tables()
 
+    multihost = _multihost()
+
     @jax.jit
     def run(packed_sh, vmask_sh, am_, at_, pf_):
         from jax import shard_map
@@ -434,16 +527,26 @@ def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,
                 pk[0], vm[0], m, a, f, k=p.k, subk=p.subk,
                 drlevel=p.drlevel, nwin=nwin,
                 max_out=max_out_per_device)
-            return keys[None], cnt[None]
+            keys, cnt = keys[None], cnt[None]
+            if multihost:
+                # replicate so every process holds all partial sketches
+                keys = jax.lax.all_gather(keys, "data", axis=0,
+                                          tiled=True)
+                cnt = jax.lax.all_gather(cnt, "data", tiled=True)
+            return keys, cnt
 
-        return shard_map(fn, mesh=mesh,
-                         in_specs=(P("data", None), P("data", None),
-                                   P(), P(), P()),
-                         out_specs=(P("data", None), P("data")),
-                         check_vma=False)(packed_sh, vmask_sh, am_, at_, pf_)
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P(), P(), P()),
+            out_specs=((P(None, None), P(None)) if multihost
+                       else (P("data", None), P("data"))),
+            check_vma=False)(packed_sh, vmask_sh, am_, at_, pf_)
 
-    keys, counts = run(jnp.asarray(packed), jnp.asarray(vmask),
-                       jnp.asarray(am), jnp.asarray(at), jnp.asarray(pf))
+    keys, counts = run(host_to_global(packed, mesh, P("data", None)),
+                       host_to_global(vmask, mesh, P("data", None)),
+                       host_to_global(np.asarray(am), mesh, P()),
+                       host_to_global(np.asarray(at), mesh, P()),
+                       host_to_global(np.asarray(pf), mesh, P()))
     keys = np.asarray(keys)
     counts = np.asarray(counts)
     parts = []
