@@ -490,6 +490,102 @@ class ShardedMatchIndex:
                 np.repeat(ab, lens))
 
 
+_UNION_STEP_CACHE: dict = {}
+
+
+def _union_step(mesh: Mesh, shard: int, with_counts: bool):
+    """Cached per-(mesh, shard size) jitted union kernel."""
+    key = (mesh, shard, with_counts)
+    fn = _UNION_STEP_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax import shard_map
+    multihost = _multihost()
+
+    def step(x):
+        # sorted-merge union of this device's shard: sort, mask
+        # duplicates to the pad value, re-sort to compact unique values
+        # to the front.  (The reference's analogue is a 512 MiB host
+        # bitmap, command_set.c:266-311 — scatter-hostile on TPU; a
+        # bitonic sort keeps the MXU-adjacent vector units busy.)
+        s = jnp.sort(x[0])
+        prev = jnp.concatenate(
+            [jnp.full((1,), UINT32_MAX, jnp.uint32), s[:-1]])
+        first = (s != prev) & (s != UINT32_MAX)
+        if with_counts:
+            # occurrence count capped at 2 — enough to decide global
+            # uniqueness after the host merge (counts are summed there)
+            nxt = jnp.concatenate(
+                [s[1:], jnp.full((1,), UINT32_MAX, jnp.uint32)])
+            dup = (s == nxt)                    # >=2 occurrences
+            cnt = jnp.where(first, 1 + dup.astype(jnp.uint8), 0)
+            u, c = jax.lax.sort(
+                (jnp.where(first, s, UINT32_MAX), cnt), num_keys=1)
+            n = jnp.sum(first.astype(jnp.int32))
+            out = (u[None], c[None], n[None])
+        else:
+            u = jnp.sort(jnp.where(first, s, UINT32_MAX))
+            n = jnp.sum(first.astype(jnp.int32))
+            out = (u[None], n[None])
+        if multihost:
+            out = tuple(jax.lax.all_gather(o, "data", axis=0, tiled=True)
+                        for o in out)
+        return out
+
+    nout = 3 if with_counts else 2
+    if multihost:
+        out_specs = tuple([P(None, None)] * (nout - 1)) + (P(None),)
+    else:
+        out_specs = tuple([P("data", None)] * (nout - 1)) + (P("data"),)
+    fn = jax.jit(shard_map(step, mesh=mesh, in_specs=(P("data", None),),
+                           out_specs=out_specs, check_vma=False))
+    _UNION_STEP_CACHE[key] = fn
+    return fn
+
+
+def device_union(ids: np.ndarray, mesh: Mesh,
+                 return_counts: bool = False):
+    """Distinct sorted values of a u32 multiset via per-device
+    sorted-merge kernels over the ``data`` axis (each device sorts +
+    dedups its shard; the host merges the much smaller unique runs).
+    With return_counts, also returns per-value occurrence counts capped
+    at 2 (enough to decide global uniqueness).  Output identical to
+    np.unique."""
+    n_dev = mesh.shape["data"]
+    ids = np.ascontiguousarray(ids, dtype=np.uint32)
+    n = ids.size
+    if n == 0:
+        return ((np.zeros(0, np.uint32), np.zeros(0, np.int64))
+                if return_counts else np.zeros(0, np.uint32))
+    shard = -(-n // n_dev)
+    pad = shard * n_dev - n
+    x = np.concatenate([ids, np.full(pad, UINT32_MAX, np.uint32)])
+    x = x.reshape(n_dev, shard)
+    stepf = _union_step(mesh, shard, return_counts)
+    outs = stepf(host_to_global(x, mesh, P("data", None)))
+    if return_counts:
+        u2, c2, nvalid = (np.asarray(o) for o in outs)
+    else:
+        u2, nvalid = (np.asarray(o) for o in outs)
+    nvalid = nvalid.reshape(-1)
+    vals = np.concatenate([u2[d, :nvalid[d]] for d in range(n_dev)])
+    if not return_counts:
+        # UINT32_MAX real values were masked out on device; restore
+        out = np.unique(vals)
+        if (ids == 0xFFFFFFFF).any():
+            out = np.union1d(out, np.uint32(0xFFFFFFFF))
+        return out.astype(np.uint32)
+    cnts = np.concatenate([c2[d, :nvalid[d]] for d in range(n_dev)])
+    uniq, inv = np.unique(vals, return_inverse=True)
+    tot = np.bincount(inv, weights=cnts.astype(np.float64),
+                      minlength=uniq.size)
+    nmax = (ids == 0xFFFFFFFF).sum()
+    if nmax:
+        uniq = np.concatenate([uniq, [np.uint32(0xFFFFFFFF)]])
+        tot = np.concatenate([tot, [min(nmax, 2)]])
+    return uniq.astype(np.uint32), tot.astype(np.int64)
+
+
 def sharded_sketch(codes: np.ndarray, shuf, mesh: Mesh,
                    max_out_per_device: int = 1 << 16) -> np.ndarray:
     """Sketch one code stream data-parallel over the mesh; returns the

@@ -38,6 +38,28 @@ def _timed(name: str):
 # unions
 # --------------------------------------------------------------------------
 
+def _device_unique(ids: np.ndarray, return_counts: bool):
+    """np.unique via the device sorted-merge kernels when a device
+    backend is in play and the input is big enough to amortize staging
+    (GTDB-scale pan builds).  Returns None for the host path.
+    Force with MKSSD_DEVICE_SETOPS=1/0; size floor via
+    MKSSD_DEVICE_SETOPS_MIN (default 4M ids — below that the host
+    np.unique wins; see docs/PERF.md crossover)."""
+    force = os.environ.get("MKSSD_DEVICE_SETOPS")
+    if force == "0":
+        return None
+    thr = int(os.environ.get("MKSSD_DEVICE_SETOPS_MIN", str(1 << 22)))
+    if force != "1":
+        if ids.size < thr:
+            return None
+        from metakssd_tpu.ops.sketch_xla import _backend_policy
+        if _backend_policy() != "tpu":
+            return None
+    from metakssd_tpu.parallel import mesh as pmesh
+    m = pmesh.make_mesh(n_db=1)
+    return pmesh.device_union(ids, m, return_counts=return_counts)
+
+
 @_timed("set.union")
 def sketch_union(insketch: str, outdir: str) -> None:
     """-u: union of all sketches -> pan.c (reference command_set.c:241-319)."""
@@ -45,7 +67,9 @@ def sketch_union(insketch: str, outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     cd.stat.write(outdir)
     for c in range(cd.stat.comp_num):
-        pan = np.unique(cd.ids[c])
+        pan = _device_unique(cd.ids[c], False)
+        if pan is None:
+            pan = np.unique(cd.ids[c])
         pan.astype(np.uint32).tofile(os.path.join(outdir, f"{PAN_PREFIX}.{c}"))
 
 
@@ -57,7 +81,11 @@ def uniq_sketch_union(insketch: str, outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     cd.stat.write(outdir)
     for c in range(cd.stat.comp_num):
-        vals, counts = np.unique(cd.ids[c], return_counts=True)
+        dev = _device_unique(cd.ids[c], True)
+        if dev is not None:
+            vals, counts = dev
+        else:
+            vals, counts = np.unique(cd.ids[c], return_counts=True)
         vals[counts == 1].astype(np.uint32).tofile(
             os.path.join(outdir, f"{UNIQ_PAN_PREFIX}.{c}"))
 

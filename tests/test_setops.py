@@ -138,3 +138,57 @@ def test_combine_pans_parity(codir):
     sb = CoStat.read(my_out)
     np.testing.assert_array_equal(sa.ctx_ct, sb.ctx_ct)
     assert sa.all_ctx_ct == sb.all_ctx_ct
+
+
+def test_device_union_matches_np_unique():
+    """device_union (per-device sorted-merge + host run merge) must
+    equal np.unique exactly, with and without capped counts, on the
+    8-device CPU mesh — incl. duplicate-heavy, cross-shard duplicates,
+    empty, and pad-value inputs."""
+    from metakssd_tpu.parallel import mesh as pmesh
+
+    m = pmesh.make_mesh(n_db=1)
+    rng = np.random.default_rng(17)
+    cases = [
+        rng.integers(0, 1 << 20, 1 << 16, dtype=np.uint32),   # dup heavy
+        rng.integers(0, 1 << 31, 100001, dtype=np.uint32),    # odd size
+        np.repeat(rng.integers(0, 999, 500, dtype=np.uint32), 17),
+        np.zeros(0, np.uint32),
+        np.array([0xFFFFFFFF, 0xFFFFFFFF, 1, 2], np.uint32),  # pad value
+        np.arange(7, dtype=np.uint32),                        # < n_dev
+    ]
+    for ids in cases:
+        want = np.unique(ids)
+        got = pmesh.device_union(ids, m)
+        np.testing.assert_array_equal(got, want), ids.size
+        want_v, want_c = np.unique(ids, return_counts=True)
+        got_v, got_c = pmesh.device_union(ids, m, return_counts=True)
+        np.testing.assert_array_equal(got_v, want_v)
+        np.testing.assert_array_equal(np.minimum(want_c, 2) == 1,
+                                      got_c == 1)
+
+
+@needs_oracle
+def test_device_setops_byte_identical(codir, monkeypatch):
+    """set -u / -q routed through the device union (MKSSD_DEVICE_SETOPS=1)
+    must write byte-identical pan/uniq_pan files."""
+    tmp, co = codir
+    host_u = str(tmp / "dev_pan_host")
+    host_q = str(tmp / "dev_upan_host")
+    setops.sketch_union(co, host_u)
+    setops.uniq_sketch_union(co, host_q)
+    monkeypatch.setenv("MKSSD_DEVICE_SETOPS", "1")
+    dev_u = str(tmp / "dev_pan_dev")
+    dev_q = str(tmp / "dev_upan_dev")
+    setops.sketch_union(co, dev_u)
+    setops.uniq_sketch_union(co, dev_q)
+    monkeypatch.delenv("MKSSD_DEVICE_SETOPS")
+    for host_d, dev_d, prefix in ((host_u, dev_u, "pan"),
+                                  (host_q, dev_q, "uniq_pan")):
+        names = [f for f in sorted(os.listdir(host_d))
+                 if f.startswith(prefix)]
+        assert names
+        for f in names:
+            a = open(os.path.join(host_d, f), "rb").read()
+            b = open(os.path.join(dev_d, f), "rb").read()
+            assert a == b, (prefix, f)
