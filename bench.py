@@ -269,14 +269,20 @@ def _worker_abv(backend: str) -> dict:
         t0 = time.time()
         composite.abv_search(dbdir, qpaths, mode=2, out=devnull)
         res["abv_queries_per_s"] = len(qpaths) / (time.time() - t0)
-        # batched dense MXU path: all queries in one dispatch (warm:
+        # batched dense path: all queries in one matmul dispatch (warm:
         # the dense DB matrix is staged once per index, like a serving
-        # process would)
-        composite.abv_search_dense(dbdir, qpaths[:2], mode=2,
-                                   out=devnull)
-        t0 = time.time()
-        composite.abv_search_dense(dbdir, qpaths, mode=2, out=devnull)
-        res["abv_dense_queries_per_s"] = len(qpaths) / (time.time() - t0)
+        # process would).  Only meaningful on an MXU — skip on the cpu
+        # backend, where it just burns bench time and records a number
+        # that reads as a regression (it is the wrong path there; see
+        # PERF.md "dense vs sparse" note).
+        if backend == "tpu":
+            composite.abv_search_dense(dbdir, qpaths[:2], mode=2,
+                                       out=devnull)
+            t0 = time.time()
+            composite.abv_search_dense(dbdir, qpaths, mode=2,
+                                       out=devnull)
+            res["abv_dense_queries_per_s"] = \
+                len(qpaths) / (time.time() - t0)
     # oracle baseline on the identical (byte-compatible) index + corpus
     binpath = _oracle_bin()
     if binpath:
@@ -289,8 +295,9 @@ def _worker_abv(backend: str) -> dict:
         dt = time.time() - t0
         if r.returncode == 0 and len(r.stdout.splitlines()) >= len(qnames):
             res["abv_ref_queries_per_s"] = len(qnames) / dt
-    res["abv_queries_per_s"] = max(res["abv_queries_per_s"],
-                                   res["abv_dense_queries_per_s"])
+    if "abv_dense_queries_per_s" in res:
+        res["abv_queries_per_s"] = max(res["abv_queries_per_s"],
+                                       res["abv_dense_queries_per_s"])
     return res
 
 
