@@ -200,7 +200,10 @@ if __name__ == "__main__":
     timeit("floor i8", make_floor(jnp.int8), v8)
     timeit("floor u16", make_floor(jnp.uint16), v16)
     timeit("winmath i32", make_winmath(jnp.int32), v32)
-    timeit("winmath i8", make_winmath(jnp.int8), v8)
+    # winmath i8: v5e Mosaic rejects i8 vector compares ("Target does
+    # not support this comparison") — int8 tiles are a dead end on
+    # this generation (and the floor probes show the floor is not
+    # input-byte-bound anyway)
     timeit("30x 32-row gather u32", make_gather(30, tab32, jnp.uint32),
            v32)
     timeit("30x 32-row gather u16", make_gather(30, tab16, jnp.uint16),

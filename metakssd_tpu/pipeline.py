@@ -399,7 +399,8 @@ def run_stage1(inputs: list[str], shuf: DimShuffle, out_dir: str,
     ckpt_dir = os.path.join(out_dir, ".stage1_ckpt") if opts.ckpt else None
     if ckpt_dir:
         os.makedirs(ckpt_dir, exist_ok=True)
-    with TIMER.stage(f"stage1.sketch[{len(inputs)} files]"):
+    TIMER.count("stage1.files", len(inputs))
+    with TIMER.stage("stage1.sketch"):
         if batchable:
             per_genome: list = [None] * len(inputs)
             todo = list(range(len(inputs)))
