@@ -48,6 +48,7 @@ tiles = jax.block_until_ready(tiles)
 a2d = jax.device_put(np.asarray(a_tups).reshape(-1, 128))
 p2d = jax.device_put(np.asarray(a_pf).reshape(-1, 128))
 lev2d = jax.device_put(sketch_pallas._bfs_levels(np.asarray(a_tups)))
+sig2d = jax.device_put(sketch_pallas._sig_tables(np.asarray(a_tups)))
 vary = [jax.block_until_ready(tiles ^ i) for i in range(K)]
 
 
@@ -132,34 +133,40 @@ def winmath_fn(t):
 
 
 # --- window math + BFS search (no compaction epilogue) -------------------
-def _search_kernel(c_ref, accept_ref, pfil_ref, lev_ref, out_ref, *,
-                   k, subk, drlevel, n_accept):
-    base, pos, keep = sketch_pallas._window_compute(
+def _search_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
+                   out_ref, *, k, subk, drlevel, n_accept, use_sig):
+    base, pos, keep, _ = sketch_pallas._window_compute(
         c_ref, accept_ref, pfil_ref, lev_ref,
+        sig_ref if use_sig else None,
         k=k, subk=subk, drlevel=drlevel, n_accept=n_accept)
     acc = jnp.where(keep, base | pos.astype(jnp.uint32), jnp.uint32(0))
     out_ref[0] = jnp.sum(acc.astype(jnp.int32), axis=0, keepdims=True)
 
 
-@jax.jit
-def search_fn(t):
-    ext = sketch_pallas._ext(TL)
-    kern = functools.partial(_search_kernel, k=p.k, subk=p.subk,
-                             drlevel=p.drlevel, n_accept=a_tups.size)
-    return pl.pallas_call(
-        kern,
-        grid=(NBLOCKS,),
-        in_specs=[
-            pl.BlockSpec((1, RWIN + ext, LANES), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NBLOCKS, 1, LANES), jnp.int32),
-    )(t, a2d, p2d, lev2d)
+def make_search_fn(use_sig):
+    @jax.jit
+    def search_fn(t):
+        ext = sketch_pallas._ext(TL)
+        kern = functools.partial(_search_kernel, k=p.k, subk=p.subk,
+                                 drlevel=p.drlevel, n_accept=a_tups.size,
+                                 use_sig=use_sig)
+        return pl.pallas_call(
+            kern,
+            grid=(NBLOCKS,),
+            in_specs=[
+                pl.BlockSpec((1, RWIN + ext, LANES), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, LANES), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NBLOCKS, 1, LANES),
+                                           jnp.int32),
+        )(t, a2d, p2d, lev2d, sig2d)
+    return search_fn
 
 
 # --- full compact kernel --------------------------------------------------
@@ -167,10 +174,14 @@ kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=NBLOCKS,
           n_accept=a_tups.size, use_bfs=True, pack=True)
 full_fn = lambda t: sketch_pallas.sketch_tiles_compact_pallas(  # noqa: E731
     t, a2d, p2d, lev2d, **kw)
+full_sig_fn = lambda t: sketch_pallas.sketch_tiles_compact_pallas(  # noqa: E731
+    t, a2d, p2d, lev2d, sig2d, use_sig=True, **kw)
 
 print(f"RWIN={RWIN} CSLOT={sketch_pallas.CSLOT} nblocks={NBLOCKS}",
       flush=True)
 timeit("floor (read+sum)", floor_fn)
 timeit("window math only", winmath_fn)
-timeit("winmath + BFS search", search_fn)
-timeit("full compact kernel", full_fn)
+timeit("winmath + BFS search", make_search_fn(False))
+timeit("winmath + sig-probe search", make_search_fn(True))
+timeit("full compact kernel (BFS)", full_fn)
+timeit("full compact kernel (sig)", full_sig_fn)

@@ -92,9 +92,11 @@ def make_gather(ng, tab, out_dtype):
     def kern(c_ref, tab_ref, out_ref):
         pos = (c_ref[0][:RWIN] & 3).astype(jnp.int32) * 683 & 4095
         rows = [tab_ref[v, :] for v in range(32)]
+        # Mosaic requires gather indices and result to share a bitwidth
+        idx_dtype = jnp.int16 if rows[0].dtype.itemsize == 2 else jnp.int32
         acc = jnp.zeros((RWIN, LANES), jnp.int32)
         for g in range(ng):
-            col = pos & 127
+            col = (pos & 127).astype(idx_dtype)
             row = (pos >> 7) & 31
             res = jnp.zeros(pos.shape, dtype=rows[0].dtype)
             for v, rv in enumerate(rows):

@@ -29,8 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # windows per lane per block (block = 128*RWIN windows); env-tunable for
-# hardware sweeps (power of two >= 8)
-RWIN = int(os.environ.get("MKSSD_PALLAS_RWIN", 512))
+# hardware sweeps (power of two >= 8).  Round-4 v5e sweep with the
+# sig-probe search at CSLOT=4: RWIN 256 -> 4157 Mwin/s vs 512 -> 3713
+# (smaller per-lane survivor budget pressure, same floor).
+RWIN = int(os.environ.get("MKSSD_PALLAS_RWIN", 256))
 LANES = 128
 
 # BFS levels up to this many splitters resolve via a scalar select tree
@@ -38,6 +40,16 @@ LANES = 128
 # 3159 Mwin/s vs 32 -> 3026 / 64 -> 2998 — the gather wins on v5e, so
 # the tree is off by default (kept env-tunable for other TPU gens).
 _SELTREE_MAX = int(os.environ.get("MKSSD_PALLAS_SELTREE", 0))
+
+# Round-4 signature-probe search (compact path): stop the exact BFS at
+# the 128-bucket level (7 single-row gathers), test membership of the
+# bucket's n_accept/128-entry run with pair-packed low-16-bit signatures
+# (R/2 single-row gathers + cheap compares; false-positive rate
+# ~R/2^16, zero false negatives), and resolve the exact position/hit on
+# the tiny compacted [CSLOT, 128] tile.  Cuts the deep search levels
+# (2+4+8+16 = 30 row-ops at n_accept=4096, ~74 us each on a [512,128]
+# tile, v5e) to 16 row-ops.  Env-tunable off for A/B sweeps.
+_SIG_ENABLE = os.environ.get("MKSSD_PALLAS_SIG", "1") != "0"
 
 
 def _ext(TL: int) -> int:
@@ -80,11 +92,32 @@ def _bfs_levels(accept_tups: np.ndarray) -> np.ndarray:
     return np.concatenate(rows, axis=0)
 
 
-def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
+def _sig_tables(accept_tups: np.ndarray) -> np.ndarray:
+    """[R/2, 128] uint32 for the signature-probe search: row w holds the
+    pair-packed low-16-bit signatures of bucket b's run (lane b, word
+    w = sig(entry 2w) | sig(entry 2w+1) << 16).  R = n_accept/128
+    (power of two >= 2)."""
+    n = accept_tups.size
+    R = n // LANES
+    runs = accept_tups.reshape(LANES, R)            # [bucket, rank]
+    s16 = (runs & np.uint32(0xFFFF)).astype(np.uint32)
+    return (s16[:, 0::2] | (s16[:, 1::2] << np.uint32(16))).T
+
+
+def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref=None, *,
                     k: int, subk: int, drlevel: int, n_accept: int):
-    """Shared window math: -> (base uint32, pos int32, keep bool), each
-    [RWIN, 128].  ``pos`` is the accept-table index of the window's inner
-    substring (valid where keep); drtuple = base + pfilters[pos]."""
+    """Shared window math: -> (base uint32, pos int32, keep bool,
+    dim uint32), each [RWIN, 128].  ``pos`` is the accept-table index of
+    the window's inner substring (valid where keep); drtuple =
+    base + pfilters[pos].
+
+    With ``sig_ref`` (signature-probe mode, compact path only): the BFS
+    stops at the 128-bucket level, ``pos`` is the *bucket* index
+    pos7 in [0, 128), and ``keep`` is a conservative superset of the
+    true hits (false positives ~R/2^16 where R = n_accept/128; zero
+    false negatives — a true member's low-16 signature is by definition
+    among its own run's signatures).  The caller must verify exactly on
+    the compacted tile (see _compact_kernel)."""
     TL = 2 * k
     outctx = k - subk
 
@@ -128,7 +161,24 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
         dim = dim & np.uint32((1 << bits) - 1)
 
     # branchless binary search over the sorted accept table
-    if lev_ref is not None:
+    if sig_ref is not None:
+        # signature-probe mode: exact descent only to the 128-bucket
+        # level (single-row gathers), then a pair-packed low-16-bit
+        # signature test of the bucket's R-entry run
+        R = n_accept // LANES
+        pos = jnp.zeros((RWIN, LANES), jnp.int32)
+        for d in range(7):
+            bc = jnp.broadcast_to(lev_ref[d, :][None, :], pos.shape)
+            val = jnp.take_along_axis(bc, pos, axis=1)
+            pos = 2 * pos + (val < dim).astype(jnp.int32)
+        dimsig = dim & jnp.uint32(0xFFFF)
+        hit = jnp.zeros((RWIN, LANES), jnp.bool_)
+        for w in range(R // 2):
+            bc = jnp.broadcast_to(sig_ref[w, :][None, :], pos.shape)
+            word = jnp.take_along_axis(bc, pos, axis=1)
+            hit = hit | ((word & jnp.uint32(0xFFFF)) == dimsig) \
+                | ((word >> jnp.uint32(16)) == dimsig)
+    elif lev_ref is not None:
         # BFS splitter layout: step d reads its 2^d-value level (1 row
         # for d <= 7) instead of gathering across the full table.  The
         # last compared value on a left turn (val >= dim) is exactly
@@ -169,8 +219,12 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
         # pos == n-1 iff the all-right path, which is exactly when lv
         # kept its 0xFFFFFFFF sentinel — selecting on pos (not on the
         # sentinel value) keeps the check correct even if dim could ever
-        # reach 2^32-1 (no reliance on the subk<8 invariant elsewhere)
-        hit = jnp.where(pos == n_accept - 1, last == dim, lv == dim)
+        # reach 2^32-1 (no reliance on the subk<8 invariant elsewhere).
+        # Pure i1 logic, not jnp.where on bools: Mosaic lowers a
+        # select-of-bool-vectors through an i8 mask and dies with
+        # "Unsupported target bitwidth for truncation" (v5e, 2026-08).
+        allr = pos == n_accept - 1
+        hit = (allr & (last == dim)) | ((~allr) & (lv == dim))
     else:
         rows = [accept_ref[v, :] for v in range(n_accept // LANES)]
         pos = jnp.zeros((RWIN, LANES), jnp.int32)
@@ -199,13 +253,13 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, *,
         np.uint32(4 * (subk - drlevel))
 
     keep = (~invalid) & hit
-    return base, pos, keep
+    return base, pos, keep, dim
 
 
 def _kernel(c_ref, accept_ref, pfil_ref, lev_ref, dr_ref, keep_ref, *,
             k: int, subk: int, drlevel: int, n_accept: int,
             use_bfs: bool):
-    base, pos, keep = _window_compute(
+    base, pos, keep, _ = _window_compute(
         c_ref, accept_ref, pfil_ref, lev_ref if use_bfs else None,
         k=k, subk=subk, drlevel=drlevel, n_accept=n_accept)
     prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
@@ -214,19 +268,22 @@ def _kernel(c_ref, accept_ref, pfil_ref, lev_ref, dr_ref, keep_ref, *,
     keep_ref[0] = keep.astype(jnp.int32)
 
 
-# Survivor slots per lane.  Default from the round-3 v5e sweep: the
-# compaction epilogue does one masked [RWIN,128] reduction per slot, and
-# 16 -> 8 measured 474 -> 552 Mwin/s (RWIN 1024 exceeds the 16 MiB VMEM
-# scoped limit; 256 ~= 512).  Expected survivors/lane = RWIN/4096, so 8
-# keeps overflow (exact rerun path) negligible.
-CSLOT = int(os.environ.get("MKSSD_PALLAS_CSLOT", 8))
+# Survivor slots per lane.  Round-4 v5e sweep with the sig-probe search
+# + host verify: CSLOT 8 -> 4 = 3507 -> 3834 Mwin/s (each slot is two
+# masked [RWIN,128] reductions now that dim is carried).  Expected
+# coarse survivors/lane = RWIN*(1/4096 + sig-FP ~3e-4) ~= 0.28, so
+# P(lane > 4) ~ 1e-5 and overflowing blocks re-run per-block through
+# the exact full-output kernel (cheap).  Round-3 note kept: RWIN 1024
+# exceeds the 16 MiB scoped-VMEM limit; 256 ~= 512.
+CSLOT = int(os.environ.get("MKSSD_PALLAS_CSLOT", 4))
 MAXS = CSLOT * LANES  # compacted survivors per block (64K windows)
 SENT = 0xFFFFFFFF
 
 
-def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, out_ref,
-                    cnt_ref, *, k: int, subk: int, drlevel: int,
-                    n_accept: int, use_bfs: bool, pack: bool):
+def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
+                    out_ref, dim_ref, cnt_ref, *, k: int, subk: int,
+                    drlevel: int, n_accept: int, use_bfs: bool,
+                    pack: bool, use_sig: bool):
     """Window kernel + in-VMEM compaction.
 
     Each lane owns RWIN consecutive windows; a log-shift prefix sum over
@@ -243,10 +300,20 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, out_ref,
     as base|pos and the pfilter is resolved on the tiny [CSLOT, 128]
     compacted tile — ~n_accept/128 select rows on 2K values instead of
     on every window.
+
+    With ``use_sig`` (implies pack): the per-window search stops at the
+    128-bucket level and keeps a superset via the 16-bit signature probe
+    (see _window_compute); survivors compact as (base|pos7, dim) PAIRS
+    (dim_ref is the second channel) and the exact rank/hit/pfilter are
+    resolved on the HOST over the ~0.03%-of-windows survivor prefix —
+    cheaper than any in-kernel verify.  Reported counts are therefore
+    *coarse* (false positives included); the caller drops them after
+    the host verify.
     """
     pid = pl.program_id(0)
-    base, pos, keep = _window_compute(
+    base, pos, keep, dim = _window_compute(
         c_ref, accept_ref, pfil_ref, lev_ref if use_bfs else None,
+        sig_ref if use_sig else None,
         k=k, subk=subk, drlevel=drlevel, n_accept=n_accept)
     prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
     if pack:
@@ -268,22 +335,34 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, out_ref,
     overflow = jnp.max(lane_tot) > CSLOT
 
     drv = jax.lax.bitcast_convert_type(v, jnp.int32)
-    rows = []
+    dimv = jax.lax.bitcast_convert_type(dim, jnp.int32)
+    rows, drows = [], []
     for j in range(CSLOT):
         sel = keep & (slot == j)
         rows.append(jnp.sum(jnp.where(sel, drv, 0), axis=0,
                             keepdims=True))
+        if use_sig:
+            drows.append(jnp.sum(jnp.where(sel, dimv, 0), axis=0,
+                                 keepdims=True))
     vals = jax.lax.bitcast_convert_type(
         jnp.concatenate(rows, axis=0), jnp.uint32)      # [CSLOT, 128]
-    if pack:
-        # resolve pfilter on the compacted tile: dr = base + pfilters[idx]
-        # (no carry: pfilters < n_accept <= 2^(4*(subk-drlevel)))
-        mask = np.uint32((1 << (4 * (subk - drlevel))) - 1)
-        idx = (vals & mask).astype(jnp.int32)
-        vals = (vals & ~mask) + _lookup(prow, idx)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (CSLOT, LANES), 0)
     valid = j_idx < jnp.broadcast_to(lane_tot, (CSLOT, LANES))
-    # a real survivor whose final drtuple equals the pad sentinel would
+    if use_sig:
+        # emit (base|pos7, dim) pairs; exact verify happens on the host
+        dimc = jax.lax.bitcast_convert_type(
+            jnp.concatenate(drows, axis=0), jnp.uint32)
+        dim_ref[0] = jnp.where(valid, dimc, jnp.uint32(SENT))
+    else:
+        dim_ref[0] = jnp.zeros((1, CSLOT, LANES), jnp.uint32)[0]
+        if pack:
+            # resolve pfilter on the compacted tile: dr = base +
+            # pfilters[idx] (no carry: pfilters < n_accept <=
+            # 2^(4*(subk-drlevel)))
+            mask = np.uint32((1 << (4 * (subk - drlevel))) - 1)
+            idx = (vals & mask).astype(jnp.int32)
+            vals = (vals & ~mask) + _lookup(prow, idx)
+    # a real survivor whose final value equals the pad sentinel would
     # be indistinguishable from padding: force the exact-rerun path
     has_sentinel = jnp.sum((valid & (vals == jnp.uint32(SENT)))
                            .astype(jnp.int32))
@@ -295,17 +374,26 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, out_ref,
 @functools.partial(jax.jit,
                    static_argnames=("k", "subk", "drlevel", "nblocks",
                                     "n_accept", "use_bfs", "pack",
-                                    "interpret"))
-def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d, *, k,
-                                subk, drlevel, nblocks, n_accept,
-                                use_bfs=False, pack=False,
-                                interpret=False):
-    """tiles -> (survivors [nblocks, MAXS//LANES, LANES], counts [nblocks])."""
+                                    "use_sig", "interpret"))
+def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
+                                sig2d=None, *, k, subk, drlevel, nblocks,
+                                n_accept, use_bfs=False, pack=False,
+                                use_sig=False, interpret=False):
+    """tiles -> (survivors [nblocks, MAXS//LANES, LANES],
+    dims (same shape; meaningful only when use_sig), counts [nblocks]).
+
+    ``sig2d`` (required when use_sig): [R/2, 128] uint32 pair-packed
+    low-16 run signatures (see _sig_tables).  With use_sig, counts are
+    COARSE (signature false positives included) and the caller must
+    verify (dim in run) on the host before trusting survivors.
+    """
     TL = 2 * k
     ext = _ext(TL)
+    if sig2d is None:
+        sig2d = jnp.zeros((1, LANES), jnp.uint32)
     kern = functools.partial(_compact_kernel, k=k, subk=subk,
                              drlevel=drlevel, n_accept=n_accept,
-                             use_bfs=use_bfs, pack=pack)
+                             use_bfs=use_bfs, pack=pack, use_sig=use_sig)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
@@ -315,8 +403,11 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d, *, k,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nblocks,), lambda b: (0,),
@@ -325,10 +416,12 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d, *, k,
         out_shape=[
             jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
                                  jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
+                                 jnp.uint32),
             jax.ShapeDtypeStruct((nblocks,), jnp.int32),
         ],
         interpret=interpret,
-    )(tiles, accept2d, pfil2d, lev2d)
+    )(tiles, accept2d, pfil2d, lev2d, sig2d)
 
 
 @functools.partial(jax.jit,
@@ -448,6 +541,13 @@ def _sort_flat(surv):
     return jnp.sort(surv.reshape(-1))
 
 
+@jax.jit
+def _sort_flat_pairs(surv, dims):
+    """Sort (value, dim) survivor pairs by value, keeping the pairing;
+    SENT pads sort to the back."""
+    return jax.lax.sort((surv.reshape(-1), dims.reshape(-1)), num_keys=1)
+
+
 def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                         interpret: bool = False, compact: bool = True):
     """codes uint8 -> (sorted survivor drtuples uint32, count) on device.
@@ -481,8 +581,13 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     use_bfs = (n_accept & (n_accept - 1)) == 0
     pack = use_bfs and (n_accept.bit_length() - 1) <= 4 * (p.subk -
                                                            p.drlevel)
+    # signature-probe search: needs pack (pos7 rides the drtuple's zero
+    # low bits, 7 bits <= 4*(subk-drlevel) is implied by pack at
+    # n_accept > 128) and at least 2 runs per bucket
+    use_sig = _SIG_ENABLE and pack and n_accept > LANES
     lev2d = jnp.asarray(_bfs_levels(a_tups) if use_bfs
                         else np.zeros((1, LANES), np.uint32))
+    sig2d = jnp.asarray(_sig_tables(a_tups)) if use_sig else None
     ext = _ext(TL)
     BW = RWIN * LANES
     nwin_total = max(codes.size - TL + 1, 0)
@@ -499,8 +604,26 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     # and must be dropped as soon as its counts come back clean.
     DEPTH = 2
 
+    if use_sig:
+        # host-side exact verify tables for the signature-probe path
+        R = n_accept // LANES
+        runs_host = np.asarray(a_tups).reshape(LANES, R)
+        pfil_host = np.asarray(a_pf).astype(np.uint32)
+
+    def _host_verify(v, d):
+        """Exact verify of coarse (base|pos7, dim) survivor pairs:
+        rank dim within run pos7, drop signature false positives,
+        resolve the pfilter.  ~0.03% of windows reach here."""
+        pos7 = (v & np.uint32(LANES - 1)).astype(np.int64)
+        cand = runs_host[pos7]                       # [m, R]
+        hit = (cand == d[:, None]).any(axis=1)
+        pos7 = pos7[hit]
+        rank = (cand[hit] < d[hit, None]).sum(axis=1)
+        return (v[hit] - pos7.astype(np.uint32)) + \
+            pfil_host[pos7 * R + rank]
+
     def _resolve(entry):
-        tiles, kw, surv, counts, flat = entry
+        tiles, kw, surv, dims, counts, flat, dflat = entry
         nblocks = kw["nblocks"]
         if counts is not None:
             counts = np.asarray(counts).reshape(-1)
@@ -513,19 +636,39 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                     # compile a fresh XLA slice per run
                     take = min(1 << max(total - 1, 1).bit_length(),
                                flat.size)
-                    parts.append(np.asarray(flat[:take])[:total])
+                    if use_sig:
+                        parts.append(_host_verify(
+                            np.asarray(flat[:take])[:total],
+                            np.asarray(dflat[:take])[:total]))
+                    else:
+                        parts.append(np.asarray(flat[:take])[:total])
                 return
             # mixed chunk: salvage good blocks from the unsorted tile,
-            # rerun bad ones through the exact full-output kernel
+            # rerun bad ones through the exact full-output kernel —
+            # per overflowing BLOCK (nblocks=1 slice), not the whole
+            # chunk: a full-output rerun of a 256-block chunk reads
+            # back 2x the entire window tile (~134 MB/16.7M windows)
             surv = np.asarray(surv).reshape(nblocks, -1)
-            parts.extend(surv[b][surv[b] != np.uint32(SENT)]
-                         for b in range(nblocks) if counts[b] <= MAXS)
-        else:
-            bad = list(range(nblocks))
+            if use_sig:
+                dims = np.asarray(dims).reshape(nblocks, -1)
+            for b in range(nblocks):
+                if counts[b] > MAXS:
+                    continue
+                m = surv[b] != np.uint32(SENT)
+                parts.append(_host_verify(surv[b][m], dims[b][m])
+                             if use_sig else surv[b][m])
+            kw1 = dict(kw, nblocks=1)
+            for b in bad:
+                dr, keep = sketch_tiles_pallas(
+                    jax.lax.slice_in_dim(tiles, b, b + 1, axis=0),
+                    a2d, p2d, lev2d, **kw1)
+                parts.append(np.asarray(dr)[0][
+                    np.asarray(keep)[0].astype(bool)])
+            return
         dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, lev2d, **kw)
         dr = np.asarray(dr)
         keep = np.asarray(keep).astype(bool)
-        parts.extend(dr[b][keep[b]] for b in bad)
+        parts.extend(dr[b][keep[b]] for b in range(nblocks))
 
     from metakssd_tpu.io import native as native_io
 
@@ -551,15 +694,19 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                   n_accept=n_accept, use_bfs=use_bfs,
                   interpret=interpret)
         if compact:
-            surv, counts = sketch_tiles_compact_pallas(
-                tiles, a2d, p2d, lev2d, pack=pack, **kw)
+            surv, dims, counts = sketch_tiles_compact_pallas(
+                tiles, a2d, p2d, lev2d, sig2d, pack=pack,
+                use_sig=use_sig, **kw)
             # device-side sort pushes pad sentinels to the back so the
             # host reads back only the exact survivor prefix (~2% of
             # the tile) instead of the whole thing
-            flat = _sort_flat(surv)
-            pending.append((tiles, kw, surv, counts, flat))
+            if use_sig:
+                flat, dflat = _sort_flat_pairs(surv, dims)
+            else:
+                flat, dflat = _sort_flat(surv), None
+            pending.append((tiles, kw, surv, dims, counts, flat, dflat))
         else:
-            pending.append((tiles, kw, None, None, None))
+            pending.append((tiles, kw, None, None, None, None, None))
         while len(pending) > DEPTH:
             _resolve(pending.pop(0))
 

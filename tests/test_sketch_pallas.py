@@ -65,6 +65,33 @@ def test_pallas_compact_overflow_blocks():
     np.testing.assert_array_equal(keys, gold)
 
 
+def test_pallas_sig_probe_matches_exact_search():
+    """The round-4 signature-probe search (stop BFS at the 128-bucket
+    level, 16-bit pair-packed run signatures, exact verify on the
+    compacted tile) must be output-identical to the full BFS search.
+    At (11,6,3) run spans exceed 2^16 so low-16 signature collisions
+    (false positives) genuinely occur (~0.03% of windows, measured) and
+    must be rejected by the compacted-tile verify."""
+    rng = np.random.default_rng(7)
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=7)
+    codes = rng.integers(0, 4, size=400_000).astype(np.uint8)
+    codes[rng.integers(0, codes.size, 150)] = 255
+    old = sketch_pallas._SIG_ENABLE
+    try:
+        sketch_pallas._SIG_ENABLE = True
+        keys_sig, count_sig = sketch_pallas.sketch_codes_pallas(
+            codes, shuf, interpret=True)
+        sketch_pallas._SIG_ENABLE = False
+        keys_bfs, count_bfs = sketch_pallas.sketch_codes_pallas(
+            codes, shuf, interpret=True)
+    finally:
+        sketch_pallas._SIG_ENABLE = old
+    assert count_sig == count_bfs
+    np.testing.assert_array_equal(keys_sig, keys_bfs)
+    gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
+    np.testing.assert_array_equal(keys_sig, gold)
+
+
 def test_pallas_rejects_huge_accept_table():
     shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=0), seed=4)
     codes = np.zeros(1000, np.uint8)
