@@ -15,6 +15,11 @@ transpose in XLA (bandwidth-bound, no gathers).
 
 The kernel emits per-window (drtuple, keep); compaction stays in XLA as
 a sort (survivors ~1/4096).
+
+Parity surface: the hot loop this replaces is the reference's per-base
+rolling tuple + dim-shuffle hash probe (iseq2comem.c:287-294 and the
+surrounding window scan 240-311); outputs are bit-exact vs ops/golden.py
+and byte-identical through the CLI vs the reference binary.
 """
 
 from __future__ import annotations
@@ -549,7 +554,8 @@ def _sort_flat_pairs(surv, dims):
 
 
 def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
-                        interpret: bool = False, compact: bool = True):
+                        interpret: bool = False, compact: bool = True,
+                        devices=None):
     """codes uint8 -> (sorted survivor drtuples uint32, count) on device.
 
     Returns None if the configuration is unsupported (fallback to the
@@ -557,6 +563,13 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     With ``compact`` (default) survivors are extracted inside the kernel
     (no global sort, MAXS per block); overflowing blocks re-run through
     the full-output path.
+
+    ``devices``: explicit list of JAX devices to round-robin chunks
+    across (sketching is embarrassingly parallel over the window
+    stream; each ~33M-window dispatch is independent, so a colocated
+    pod scales stage-I linearly with no collectives).  Default: all
+    local devices when there is more than one and the stream spans
+    multiple chunks (MKSSD_PALLAS_NDEV caps it; 1 disables).
     """
     p = shuf.params
     TL = p.kmer_len
@@ -598,6 +611,29 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     for nb in plan[:-1]:
         starts.append(starts[-1] + nb * BW)
 
+    # round-robin chunks across local devices (stage-I scales linearly:
+    # independent dispatches, no collectives; survivors merge on host)
+    if devices is None and len(plan) > 1:
+        try:
+            devs = jax.local_devices()
+        except Exception:
+            devs = []
+        cap = int(os.environ.get("MKSSD_PALLAS_NDEV", "0") or 0)
+        if cap > 0:
+            devs = devs[:cap]
+        devices = devs if len(devs) > 1 else None
+    ndev = len(devices) if devices else 1
+
+    tab_cache = {}
+
+    def _tabs_for(dev):
+        """Replicated filter tables for one device (staged once)."""
+        if dev not in tab_cache:
+            tab_cache[dev] = tuple(
+                None if t is None else jax.device_put(t, dev)
+                for t in (a2d, p2d, lev2d, sig2d))
+        return tab_cache[dev]
+
     # Pipelined dispatch: queue chunk transfers + kernels without host
     # syncs so h2d of chunk i+1 overlaps chunk i's compute, but bound the
     # number of in-flight chunks — each chunk's tiles are ~130 MB of HBM
@@ -623,7 +659,8 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
             pfil_host[pos7 * R + rank]
 
     def _resolve(entry):
-        tiles, kw, surv, dims, counts, flat, dflat = entry
+        tiles, tabs, kw, surv, dims, counts, flat, dflat = entry
+        ta2d, tp2d, tlev2d, _ = tabs
         nblocks = kw["nblocks"]
         if counts is not None:
             counts = np.asarray(counts).reshape(-1)
@@ -661,11 +698,11 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
             for b in bad:
                 dr, keep = sketch_tiles_pallas(
                     jax.lax.slice_in_dim(tiles, b, b + 1, axis=0),
-                    a2d, p2d, lev2d, **kw1)
+                    ta2d, tp2d, tlev2d, **kw1)
                 parts.append(np.asarray(dr)[0][
                     np.asarray(keep)[0].astype(bool)])
             return
-        dr, keep = sketch_tiles_pallas(tiles, a2d, p2d, lev2d, **kw)
+        dr, keep = sketch_tiles_pallas(tiles, ta2d, tp2d, tlev2d, **kw)
         dr = np.asarray(dr)
         keep = np.asarray(keep).astype(bool)
         parts.extend(dr[b][keep[b]] for b in range(nblocks))
@@ -673,7 +710,7 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     from metakssd_tpu.io import native as native_io
 
     pending = []
-    for start, nblocks in zip(starts, plan):
+    for i, (start, nblocks) in enumerate(zip(starts, plan)):
         nw_real = min(nblocks * BW, max(nwin_total - start, 0))
         need = nblocks * BW + RWIN + ext
         # one-pass native 2-bit pack straight from the code stream (no
@@ -687,15 +724,23 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
             buf[:seg.size] = seg
             pk = pack_codes(buf)
         packed, vmask = pk
-        tiles = _restructure_packed(jnp.asarray(packed),
-                                    jnp.asarray(vmask),
+        if devices is not None:
+            dev = devices[i % ndev]
+            packed = jax.device_put(packed, dev)
+            vmask = jax.device_put(vmask, dev)
+            ta2d, tp2d, tlev2d, tsig2d = _tabs_for(dev)
+        else:
+            packed, vmask = jnp.asarray(packed), jnp.asarray(vmask)
+            ta2d, tp2d, tlev2d, tsig2d = a2d, p2d, lev2d, sig2d
+        tiles = _restructure_packed(packed, vmask,
                                     nblocks=nblocks, TL=TL, n=need)
         kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
                   n_accept=n_accept, use_bfs=use_bfs,
                   interpret=interpret)
+        tabs = (ta2d, tp2d, tlev2d, tsig2d)
         if compact:
             surv, dims, counts = sketch_tiles_compact_pallas(
-                tiles, a2d, p2d, lev2d, sig2d, pack=pack,
+                tiles, ta2d, tp2d, tlev2d, tsig2d, pack=pack,
                 use_sig=use_sig, **kw)
             # device-side sort pushes pad sentinels to the back so the
             # host reads back only the exact survivor prefix (~2% of
@@ -704,10 +749,12 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                 flat, dflat = _sort_flat_pairs(surv, dims)
             else:
                 flat, dflat = _sort_flat(surv), None
-            pending.append((tiles, kw, surv, dims, counts, flat, dflat))
+            pending.append((tiles, tabs, kw, surv, dims, counts, flat,
+                            dflat))
         else:
-            pending.append((tiles, kw, None, None, None, None, None))
-        while len(pending) > DEPTH:
+            pending.append((tiles, tabs, kw, None, None, None, None,
+                            None))
+        while len(pending) > DEPTH * ndev:
             _resolve(pending.pop(0))
 
     while pending:

@@ -92,6 +92,26 @@ def test_pallas_sig_probe_matches_exact_search():
     np.testing.assert_array_equal(keys_sig, gold)
 
 
+def test_pallas_multidevice_round_robin():
+    """Stage-I sketching round-robins chunks across local devices
+    (embarrassingly parallel, host-merged survivors): explicit
+    multi-device dispatch must match single-device and golden."""
+    import jax
+    devs = jax.local_devices()
+    assert len(devs) >= 2  # conftest forces 8 virtual CPU devices
+    rng = np.random.default_rng(11)
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=11)
+    codes = rng.integers(0, 4, size=400_000).astype(np.uint8)
+    gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
+    keys, count = sketch_pallas.sketch_codes_pallas(
+        codes, shuf, interpret=True, devices=devs)
+    assert count == gold.size
+    np.testing.assert_array_equal(keys, gold)
+    keys1, _ = sketch_pallas.sketch_codes_pallas(
+        codes, shuf, interpret=True, devices=devs[:1])
+    np.testing.assert_array_equal(keys1, keys)
+
+
 def test_pallas_rejects_huge_accept_table():
     shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=0), seed=4)
     codes = np.zeros(1000, np.uint8)
