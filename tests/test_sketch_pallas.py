@@ -8,8 +8,11 @@ from metakssd_tpu.formats.shuf import make_shuf
 from metakssd_tpu.ops import golden, sketch_pallas
 
 
-@pytest.mark.parametrize("k,subk,drlevel", [(8, 5, 2), (11, 6, 3)])
+@pytest.mark.parametrize("k,subk,drlevel", [(8, 5, 2), (11, 6, 3),
+                                            (7, 5, 3), (6, 4, 2)])
 def test_pallas_matches_golden(k, subk, drlevel):
+    # (7,5,3)/(6,4,2): 256-entry accept tables — the signature probe's
+    # R=2 edge (one pair-packed word per bucket)
     rng = np.random.default_rng(k)
     shuf = make_shuf(SketchParams(k=k, subk=subk, drlevel=drlevel), seed=k)
     codes = rng.integers(0, 4, size=300_000).astype(np.uint8)
