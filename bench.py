@@ -138,51 +138,12 @@ def _worker_sketch(fq: str, shufp: str, backend: str) -> float:
 
 def _worker_kernel() -> dict:
     """Chained-dispatch kernel-only throughput of the Pallas compact
-    sketch kernel (PERF.md methodology in miniature: K dispatches, ONE
-    readback, fresh inputs per rep).  Runs on the default device — only
-    invoked when the device probe passed."""
-    import jax
-    import jax.numpy as jnp
-    from metakssd_tpu.params import SketchParams
-    from metakssd_tpu.formats.shuf import make_shuf
-    from metakssd_tpu.ops import sketch_xla, sketch_pallas
-
-    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=1234)
-    p = shuf.params
-    a_tups, a_pf, _ = shuf.device_tables()
-    RWIN, LANES = sketch_pallas.RWIN, sketch_pallas.LANES
-    NWIN = 1 << 24
-    TL = p.kmer_len
-    K = 16
-    nblocks = NWIN // (RWIN * LANES)
-    rng = np.random.default_rng(0)
-    codes = rng.integers(0, 4, size=NWIN + TL - 1).astype(np.uint8)
-    ext = sketch_pallas._ext(TL)
-    packed, vmask = sketch_xla.pack_codes(
-        np.concatenate([codes, np.full(RWIN + ext, 255, np.uint8)]))
-    tiles = sketch_pallas._restructure_packed(
-        jax.device_put(packed), jax.device_put(vmask),
-        nblocks=nblocks, TL=TL, n=NWIN + RWIN + ext)
-    tiles = jax.block_until_ready(tiles)
-    a2d = jax.device_put(np.asarray(a_tups).reshape(-1, LANES))
-    p2d = jax.device_put(np.asarray(a_pf).reshape(-1, LANES))
-    lev2d = jax.device_put(sketch_pallas._bfs_levels(np.asarray(a_tups)))
-    sig2d = jax.device_put(sketch_pallas._sig_tables(np.asarray(a_tups)))
-    kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=nblocks,
-              n_accept=a_tups.size, use_bfs=True, pack=True,
-              use_sig=True)
-    fn = jax.jit(lambda t: jnp.sum(
-        sketch_pallas.sketch_tiles_compact_pallas(
-            t, a2d, p2d, lev2d, sig2d, **kw)[0].astype(jnp.int32)))
-    vary = [jax.block_until_ready(tiles ^ np.int32(i)) for i in range(K)]
-    np.asarray(fn(vary[0]))                          # warm compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        outs = [fn(v) for v in vary]
-        np.asarray(jnp.stack(outs).sum())
-        best = min(best, time.time() - t0)
-    return {"kernel_mwin_per_s": NWIN * K / best / 1e6}
+    sketch kernel, via the shared harness (ops/kernel_bench.py — same
+    methodology as the PERF.md probes, product-path auto-detected
+    kernel configuration).  Only invoked when the device probe
+    passed."""
+    from metakssd_tpu.ops.kernel_bench import kernel_chain_mwin
+    return {"kernel_mwin_per_s": kernel_chain_mwin()}
 
 
 def _worker_main(argv) -> None:

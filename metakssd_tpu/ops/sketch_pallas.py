@@ -276,12 +276,13 @@ def _kernel(c_ref, accept_ref, pfil_ref, lev_ref, dr_ref, keep_ref, *,
 # Survivor slots per lane.  Round-4 v5e sweep with the sig-probe search
 # + host verify: CSLOT 8 -> 4 = 3507 -> 3834 Mwin/s (each slot is two
 # masked [RWIN,128] reductions now that dim is carried).  Expected
-# coarse survivors/lane = RWIN*(1/4096 + sig-FP ~3e-4) ~= 0.28, so
-# P(lane > 4) ~ 1e-5 and overflowing blocks re-run per-block through
+# coarse survivors/lane = RWIN*(1/4096 + sig-FP ~3e-4) ~= 0.14 at the
+# RWIN=256 default, so P(lane > 4) ~ 5e-7 (at RWIN=512: 0.28 / ~1e-5)
+# and overflowing blocks re-run per-block through
 # the exact full-output kernel (cheap).  Round-3 note kept: RWIN 1024
 # exceeds the 16 MiB scoped-VMEM limit; 256 ~= 512.
 CSLOT = int(os.environ.get("MKSSD_PALLAS_CSLOT", 4))
-MAXS = CSLOT * LANES  # compacted survivors per block (64K windows)
+MAXS = CSLOT * LANES  # compacted survivors per block (RWIN*128 windows)
 SENT = 0xFFFFFFFF
 
 
@@ -500,7 +501,8 @@ def _restructure_packed(packed, vmask, *, nblocks, TL, n):
 
 
 # nblocks buckets bound distinct compiled shapes; max = 512 blocks =
-# 33.5M windows per dispatch (larger streams loop with TL-1 overlap)
+# 512*RWIN*128 windows per dispatch -- 16.7M at the RWIN=256 default
+# (larger streams loop with TL-1 overlap)
 _NB_BUCKETS = (1, 4, 16, 64, 256, 512)
 
 
@@ -613,6 +615,8 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
 
     # round-robin chunks across local devices (stage-I scales linearly:
     # independent dispatches, no collectives; survivors merge on host)
+    if devices is not None and len(devices) == 0:
+        devices = None
     if devices is None and len(plan) > 1:
         try:
             devs = jax.local_devices()
@@ -636,7 +640,8 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
 
     # Pipelined dispatch: queue chunk transfers + kernels without host
     # syncs so h2d of chunk i+1 overlaps chunk i's compute, but bound the
-    # number of in-flight chunks — each chunk's tiles are ~130 MB of HBM
+    # number of in-flight chunks — each max chunk's tiles are ~75 MB of
+    # HBM at RWIN=256 (512 blocks x [288,128] int32)
     # and must be dropped as soon as its counts come back clean.
     DEPTH = 2
 

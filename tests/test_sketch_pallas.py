@@ -98,21 +98,34 @@ def test_pallas_sig_probe_matches_exact_search():
 def test_pallas_multidevice_round_robin():
     """Stage-I sketching round-robins chunks across local devices
     (embarrassingly parallel, host-merged survivors): explicit
-    multi-device dispatch must match single-device and golden."""
+    multi-device dispatch must match single-device and golden.  The
+    input must span MULTIPLE dispatch chunks or every chunk lands on
+    devices[0] and the round-robin machinery goes untested."""
     import jax
     devs = jax.local_devices()
     assert len(devs) >= 2  # conftest forces 8 virtual CPU devices
     rng = np.random.default_rng(11)
     shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=11)
-    codes = rng.integers(0, 4, size=400_000).astype(np.uint8)
+    BW = sketch_pallas.RWIN * sketch_pallas.LANES
+    n = 21 * BW + 1000          # plan [16, 4, 1] -> 3 chunks, 3 devices
+    assert len(sketch_pallas._greedy_plan(-(-n // BW))) > 2
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
     gold = np.sort(golden.window_drtuples(codes, shuf)).astype(np.uint32)
     keys, count = sketch_pallas.sketch_codes_pallas(
         codes, shuf, interpret=True, devices=devs)
     assert count == gold.size
     np.testing.assert_array_equal(keys, gold)
+    # single-device and the devices=None auto-detect path must agree
     keys1, _ = sketch_pallas.sketch_codes_pallas(
         codes, shuf, interpret=True, devices=devs[:1])
     np.testing.assert_array_equal(keys1, keys)
+    keys_auto, _ = sketch_pallas.sketch_codes_pallas(
+        codes, shuf, interpret=True)
+    np.testing.assert_array_equal(keys_auto, keys)
+    # devices=[] falls back to single-device rather than crashing
+    keys_e, _ = sketch_pallas.sketch_codes_pallas(
+        codes, shuf, interpret=True, devices=[])
+    np.testing.assert_array_equal(keys_e, keys)
 
 
 def test_pallas_rejects_huge_accept_table():
