@@ -11,8 +11,10 @@ from metakssd_tpu.ops import golden, sketch_pallas
 @pytest.mark.parametrize("k,subk,drlevel", [(8, 5, 2), (11, 6, 3),
                                             (7, 5, 3), (6, 4, 2)])
 def test_pallas_matches_golden(k, subk, drlevel):
-    # (7,5,3)/(6,4,2): 256-entry accept tables — the signature probe's
-    # R=2 edge (one pair-packed word per bucket)
+    # dim_end is floored at MIN_SUBCTX_DIM_SMP_SZ=4096, so every config
+    # has a 4096-entry accept table; (7,5,3)/(6,4,2) have
+    # 4*(subk-drlevel) = 8 < log2(4096) so pack (and therefore the
+    # signature probe) is OFF there — they cover the BFS no-pack path
     rng = np.random.default_rng(k)
     shuf = make_shuf(SketchParams(k=k, subk=subk, drlevel=drlevel), seed=k)
     codes = rng.integers(0, 4, size=300_000).astype(np.uint8)
