@@ -40,11 +40,8 @@ def kernel_chain_mwin(shuf=None, nwin: int = 1 << 24, k_reps: int = 16,
     ext = sketch_pallas._ext(TL)
     nblocks = nwin // (RWIN * LANES)
 
-    # the product path's own mode detection
-    use_bfs = (n_accept & (n_accept - 1)) == 0
-    pack = use_bfs and (n_accept.bit_length() - 1) <= 4 * (p.subk -
-                                                           p.drlevel)
-    use_sig = sketch_pallas._SIG_ENABLE and pack and n_accept > LANES
+    # the product path's own mode decision (single source of truth)
+    use_bfs, pack, use_sig = sketch_pallas.kernel_modes(p, n_accept)
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=nwin + TL - 1).astype(np.uint8)

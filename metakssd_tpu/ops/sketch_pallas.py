@@ -97,6 +97,22 @@ def _bfs_levels(accept_tups: np.ndarray) -> np.ndarray:
     return np.concatenate(rows, axis=0)
 
 
+def kernel_modes(p, n_accept: int) -> tuple[bool, bool, bool]:
+    """(use_bfs, pack, use_sig) for a SketchParams + accept-table size —
+    the single home of the kernel-mode decision (product path and
+    benchmarks must agree)."""
+    use_bfs = (n_accept & (n_accept - 1)) == 0
+    pack = use_bfs and (n_accept.bit_length() - 1) <= 4 * (p.subk -
+                                                           p.drlevel)
+    # signature-probe search: pos7 rides the drtuple's zero low bits
+    # (pack) or the dim channel's spare high bits (4*subk + 7 <= 32 —
+    # covers the heavy-downsampling no-pack configs, e.g. 16S-style
+    # subk-drlevel < 3); needs the BFS level layout and >= 2 runs/bucket
+    use_sig = (_SIG_ENABLE and use_bfs and n_accept > LANES
+               and (pack or 4 * p.subk + 7 <= 32))
+    return use_bfs, pack, use_sig
+
+
 def _sig_tables(accept_tups: np.ndarray) -> np.ndarray:
     """[R/2, 128] uint32 for the signature-probe search: row w holds the
     pair-packed low-16-bit signatures of bucket b's run (lane b, word
@@ -307,14 +323,15 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
     compacted tile — ~n_accept/128 select rows on 2K values instead of
     on every window.
 
-    With ``use_sig`` (implies pack): the per-window search stops at the
-    128-bucket level and keeps a superset via the 16-bit signature probe
-    (see _window_compute); survivors compact as (base|pos7, dim) PAIRS
-    (dim_ref is the second channel) and the exact rank/hit/pfilter are
-    resolved on the HOST over the ~0.03%-of-windows survivor prefix —
-    cheaper than any in-kernel verify.  Reported counts are therefore
-    *coarse* (false positives included); the caller drops them after
-    the host verify.
+    With ``use_sig``: the per-window search stops at the 128-bucket
+    level and keeps a superset via the 16-bit signature probe (see
+    _window_compute); survivors compact as PAIRS — (base|pos7, dim)
+    when pack, (base, dim|pos7<<4subk) otherwise (pos7 rides the dim
+    channel's spare high bits; caller guarantees 4*subk + 7 <= 32) —
+    and the exact rank/hit/pfilter are resolved on the HOST over the
+    ~0.03%-of-windows survivor prefix — cheaper than any in-kernel
+    verify.  Reported counts are therefore *coarse* (false positives
+    included); the caller drops them after the host verify.
     """
     pid = pl.program_id(0)
     base, pos, keep, dim = _window_compute(
@@ -322,7 +339,10 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
         sig_ref if use_sig else None,
         k=k, subk=subk, drlevel=drlevel, n_accept=n_accept)
     prow = [pfil_ref[v, :] for v in range(n_accept // LANES)]
-    if pack:
+    if use_sig and not pack:
+        v = base
+        dim = dim | (pos.astype(jnp.uint32) << np.uint32(4 * subk))
+    elif pack:
         v = base | pos.astype(jnp.uint32)
     else:
         v = base + _lookup(prow, pos)
@@ -593,13 +613,7 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     # BFS splitter levels need a power-of-two table; the packed-index
     # compaction additionally needs the index to fit the drtuple's zero
     # low bits (true for every 16^(subk-drlevel) >= 4096 config)
-    use_bfs = (n_accept & (n_accept - 1)) == 0
-    pack = use_bfs and (n_accept.bit_length() - 1) <= 4 * (p.subk -
-                                                           p.drlevel)
-    # signature-probe search: needs pack (pos7 rides the drtuple's zero
-    # low bits, 7 bits <= 4*(subk-drlevel) is implied by pack at
-    # n_accept > 128) and at least 2 runs per bucket
-    use_sig = _SIG_ENABLE and pack and n_accept > LANES
+    use_bfs, pack, use_sig = kernel_modes(p, n_accept)
     lev2d = jnp.asarray(_bfs_levels(a_tups) if use_bfs
                         else np.zeros((1, LANES), np.uint32))
     sig2d = jnp.asarray(_sig_tables(a_tups)) if use_sig else None
@@ -652,16 +666,22 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         pfil_host = np.asarray(a_pf).astype(np.uint32)
 
     def _host_verify(v, d):
-        """Exact verify of coarse (base|pos7, dim) survivor pairs:
-        rank dim within run pos7, drop signature false positives,
-        resolve the pfilter.  ~0.03% of windows reach here."""
-        pos7 = (v & np.uint32(LANES - 1)).astype(np.int64)
+        """Exact verify of coarse survivor pairs — (base|pos7, dim)
+        when pack, (base, dim|pos7<<4subk) otherwise: rank dim within
+        run pos7, drop signature false positives, resolve the pfilter.
+        ~0.03% of windows reach here."""
+        if pack:
+            pos7 = (v & np.uint32(LANES - 1)).astype(np.int64)
+            base = v - pos7.astype(np.uint32)
+        else:
+            pos7 = (d >> np.uint32(4 * p.subk)).astype(np.int64)
+            d = d & np.uint32((1 << (4 * p.subk)) - 1)
+            base = v
         cand = runs_host[pos7]                       # [m, R]
         hit = (cand == d[:, None]).any(axis=1)
         pos7 = pos7[hit]
         rank = (cand[hit] < d[hit, None]).sum(axis=1)
-        return (v[hit] - pos7.astype(np.uint32)) + \
-            pfil_host[pos7 * R + rank]
+        return base[hit] + pfil_host[pos7 * R + rank]
 
     def _resolve(entry):
         tiles, tabs, kw, surv, dims, counts, flat, dflat = entry
