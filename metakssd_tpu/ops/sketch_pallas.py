@@ -303,9 +303,10 @@ SENT = 0xFFFFFFFF
 
 
 def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
-                    out_ref, dim_ref, cnt_ref, *, k: int, subk: int,
-                    drlevel: int, n_accept: int, use_bfs: bool,
-                    pack: bool, use_sig: bool):
+                    out_ref, dim_ref, pos_ref, cnt_ref, *, k: int,
+                    subk: int, drlevel: int, n_accept: int,
+                    use_bfs: bool, pack: bool, use_sig: bool,
+                    want_pos: bool):
     """Window kernel + in-VMEM compaction.
 
     Each lane owns RWIN consecutive windows; a log-shift prefix sum over
@@ -362,7 +363,14 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
 
     drv = jax.lax.bitcast_convert_type(v, jnp.int32)
     dimv = jax.lax.bitcast_convert_type(dim, jnp.int32)
-    rows, drows = [], []
+    if want_pos:
+        # window index within this dispatch: lane l of block pid owns
+        # the RWIN consecutive windows [pid*RWIN*128 + l*RWIN, ..)
+        win = (pid * (RWIN * LANES)
+               + jax.lax.broadcasted_iota(jnp.int32, (RWIN, LANES), 1)
+               * RWIN
+               + jax.lax.broadcasted_iota(jnp.int32, (RWIN, LANES), 0))
+    rows, drows, prows_ = [], [], []
     for j in range(CSLOT):
         sel = keep & (slot == j)
         rows.append(jnp.sum(jnp.where(sel, drv, 0), axis=0,
@@ -370,10 +378,18 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
         if use_sig:
             drows.append(jnp.sum(jnp.where(sel, dimv, 0), axis=0,
                                  keepdims=True))
+        if want_pos:
+            prows_.append(jnp.sum(jnp.where(sel, win, 0), axis=0,
+                                  keepdims=True))
     vals = jax.lax.bitcast_convert_type(
         jnp.concatenate(rows, axis=0), jnp.uint32)      # [CSLOT, 128]
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (CSLOT, LANES), 0)
     valid = j_idx < jnp.broadcast_to(lane_tot, (CSLOT, LANES))
+    if want_pos:
+        posc = jnp.concatenate(prows_, axis=0).astype(jnp.uint32)
+        pos_ref[0] = jnp.where(valid, posc, jnp.uint32(SENT))
+    else:
+        pos_ref[0] = jnp.zeros((1, CSLOT, LANES), jnp.uint32)[0]
     if use_sig:
         # emit (base|pos7, dim) pairs; exact verify happens on the host
         dimc = jax.lax.bitcast_convert_type(
@@ -400,18 +416,22 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
 @functools.partial(jax.jit,
                    static_argnames=("k", "subk", "drlevel", "nblocks",
                                     "n_accept", "use_bfs", "pack",
-                                    "use_sig", "interpret"))
+                                    "use_sig", "want_pos", "interpret"))
 def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
                                 sig2d=None, *, k, subk, drlevel, nblocks,
                                 n_accept, use_bfs=False, pack=False,
-                                use_sig=False, interpret=False):
+                                use_sig=False, want_pos=False,
+                                interpret=False):
     """tiles -> (survivors [nblocks, MAXS//LANES, LANES],
-    dims (same shape; meaningful only when use_sig), counts [nblocks]).
+    dims, positions (same shape; meaningful only when use_sig /
+    want_pos), counts [nblocks]).
 
     ``sig2d`` (required when use_sig): [R/2, 128] uint32 pair-packed
     low-16 run signatures (see _sig_tables).  With use_sig, counts are
     COARSE (signature false positives included) and the caller must
-    verify (dim in run) on the host before trusting survivors.
+    verify (dim in run) on the host before trusting survivors.  With
+    want_pos, the third output carries each survivor's window index
+    within the dispatch (uint32).
     """
     TL = 2 * k
     ext = _ext(TL)
@@ -419,7 +439,8 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
         sig2d = jnp.zeros((1, LANES), jnp.uint32)
     kern = functools.partial(_compact_kernel, k=k, subk=subk,
                              drlevel=drlevel, n_accept=n_accept,
-                             use_bfs=use_bfs, pack=pack, use_sig=use_sig)
+                             use_bfs=use_bfs, pack=pack, use_sig=use_sig,
+                             want_pos=want_pos)
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
@@ -436,10 +457,14 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nblocks,), lambda b: (0,),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
+                                 jnp.uint32),
             jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
                                  jnp.uint32),
             jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
@@ -575,10 +600,23 @@ def _sort_flat_pairs(surv, dims):
     return jax.lax.sort((surv.reshape(-1), dims.reshape(-1)), num_keys=1)
 
 
+@jax.jit
+def _sort_flat_triples(surv, dims, poss):
+    """Sort (value, dim, window) survivor triples by value; SENT pads
+    sort to the back."""
+    return jax.lax.sort((surv.reshape(-1), dims.reshape(-1),
+                         poss.reshape(-1)), num_keys=1)
+
+
 def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                         interpret: bool = False, compact: bool = True,
-                        devices=None):
+                        devices=None, with_positions: bool = False):
     """codes uint8 -> (sorted survivor drtuples uint32, count) on device.
+
+    With ``with_positions`` (requires the signature-probe mode; returns
+    None otherwise so the caller can fall back to the XLA path):
+    -> (drtuples uint32, window positions int64), UNSORTED, duplicates
+    preserved — the contract of sketch_codes_with_positions.
 
     Returns None if the configuration is unsupported (fallback to the
     XLA path): k - drlevel > 8 or accept table not lane-aligned.
@@ -614,6 +652,8 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     # compaction additionally needs the index to fit the drtuple's zero
     # low bits (true for every 16^(subk-drlevel) >= 4096 config)
     use_bfs, pack, use_sig = kernel_modes(p, n_accept)
+    if with_positions and not (use_sig and compact):
+        return None
     lev2d = jnp.asarray(_bfs_levels(a_tups) if use_bfs
                         else np.zeros((1, LANES), np.uint32))
     sig2d = jnp.asarray(_sig_tables(a_tups)) if use_sig else None
@@ -622,6 +662,7 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
     nwin_total = max(codes.size - TL + 1, 0)
 
     parts = []
+    parts_pos = []
     plan = _greedy_plan(max(-(-nwin_total // BW), 1))
     starts = [0]
     for nb in plan[:-1]:
@@ -681,10 +722,19 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         hit = (cand == d[:, None]).any(axis=1)
         pos7 = pos7[hit]
         rank = (cand[hit] < d[hit, None]).sum(axis=1)
-        return base[hit] + pfil_host[pos7 * R + rank]
+        dr = base[hit] + pfil_host[pos7 * R + rank]
+        return (dr, hit) if with_positions else dr
+
+    def _emit(dr, win, start):
+        """Append one resolved survivor batch (win = dispatch-relative
+        window indices, already hit-filtered, or None)."""
+        parts.append(dr)
+        if with_positions:
+            parts_pos.append(win.astype(np.int64) + start)
 
     def _resolve(entry):
-        tiles, tabs, kw, surv, dims, counts, flat, dflat = entry
+        start, tiles, tabs, kw, surv, dims, poss, counts, flat, dflat, \
+            pflat = entry
         ta2d, tp2d, tlev2d, _ = tabs
         nblocks = kw["nblocks"]
         if counts is not None:
@@ -699,9 +749,15 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                     take = min(1 << max(total - 1, 1).bit_length(),
                                flat.size)
                     if use_sig:
-                        parts.append(_host_verify(
-                            np.asarray(flat[:take])[:total],
-                            np.asarray(dflat[:take])[:total]))
+                        v = np.asarray(flat[:take])[:total]
+                        d = np.asarray(dflat[:take])[:total]
+                        res = _host_verify(v, d)
+                        if with_positions:
+                            dr, hit = res
+                            w = np.asarray(pflat[:take])[:total][hit]
+                            _emit(dr, w, start)
+                        else:
+                            parts.append(res)
                     else:
                         parts.append(np.asarray(flat[:take])[:total])
                 return
@@ -713,19 +769,34 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
             surv = np.asarray(surv).reshape(nblocks, -1)
             if use_sig:
                 dims = np.asarray(dims).reshape(nblocks, -1)
+            if with_positions:
+                poss = np.asarray(poss).reshape(nblocks, -1)
             for b in range(nblocks):
                 if counts[b] > MAXS:
                     continue
                 m = surv[b] != np.uint32(SENT)
-                parts.append(_host_verify(surv[b][m], dims[b][m])
-                             if use_sig else surv[b][m])
+                if use_sig:
+                    res = _host_verify(surv[b][m], dims[b][m])
+                    if with_positions:
+                        dr, hit = res
+                        _emit(dr, poss[b][m][hit], start)
+                    else:
+                        parts.append(res)
+                else:
+                    parts.append(surv[b][m])
             kw1 = dict(kw, nblocks=1)
             for b in bad:
                 dr, keep = sketch_tiles_pallas(
                     jax.lax.slice_in_dim(tiles, b, b + 1, axis=0),
                     ta2d, tp2d, tlev2d, **kw1)
-                parts.append(np.asarray(dr)[0][
-                    np.asarray(keep)[0].astype(bool)])
+                keep = np.asarray(keep)[0].astype(bool)
+                dr = np.asarray(dr)[0][keep]
+                if with_positions:
+                    r_idx, l_idx = np.nonzero(keep)
+                    _emit(dr, (b * RWIN * LANES + l_idx * RWIN
+                               + r_idx).astype(np.int64), start)
+                else:
+                    parts.append(dr)
             return
         dr, keep = sketch_tiles_pallas(tiles, ta2d, tp2d, tlev2d, **kw)
         dr = np.asarray(dr)
@@ -764,21 +835,24 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
                   interpret=interpret)
         tabs = (ta2d, tp2d, tlev2d, tsig2d)
         if compact:
-            surv, dims, counts = sketch_tiles_compact_pallas(
+            surv, dims, poss, counts = sketch_tiles_compact_pallas(
                 tiles, ta2d, tp2d, tlev2d, tsig2d, pack=pack,
-                use_sig=use_sig, **kw)
+                use_sig=use_sig, want_pos=with_positions, **kw)
             # device-side sort pushes pad sentinels to the back so the
             # host reads back only the exact survivor prefix (~2% of
             # the tile) instead of the whole thing
-            if use_sig:
+            pflat = None
+            if use_sig and with_positions:
+                flat, dflat, pflat = _sort_flat_triples(surv, dims, poss)
+            elif use_sig:
                 flat, dflat = _sort_flat_pairs(surv, dims)
             else:
                 flat, dflat = _sort_flat(surv), None
-            pending.append((tiles, tabs, kw, surv, dims, counts, flat,
-                            dflat))
+            pending.append((start, tiles, tabs, kw, surv, dims, poss,
+                            counts, flat, dflat, pflat))
         else:
-            pending.append((tiles, tabs, kw, None, None, None, None,
-                            None))
+            pending.append((start, tiles, tabs, kw, None, None, None,
+                            None, None, None, None))
         while len(pending) > DEPTH * ndev:
             _resolve(pending.pop(0))
 
@@ -786,5 +860,9 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         _resolve(pending.pop(0))
 
     out = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+    if with_positions:
+        wpos = np.concatenate(parts_pos) if parts_pos else \
+            np.zeros(0, np.int64)
+        return out, wpos
     out.sort()
     return out, out.size

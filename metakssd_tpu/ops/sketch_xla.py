@@ -429,6 +429,15 @@ def sketch_codes_with_positions(codes: np.ndarray, shuf: DimShuffle,
         return dr.astype(np.uint64), pos
     if accept is None:
         accept = shuf.device_tables()
+    if _pallas_usable(shuf, accept):
+        # fused compact kernel with the survivor position channel
+        # (~50x the XLA compact path; see ops/sketch_pallas.py)
+        from metakssd_tpu.ops import sketch_pallas
+        res = sketch_pallas.sketch_codes_pallas(
+            codes, shuf, accept=accept, with_positions=True)
+        if res is not None:
+            dr, pos = res
+            return dr.astype(np.uint64), pos
     a_tups = jnp.asarray(accept[0])
     a_pf = jnp.asarray(accept[1])
     a_mask = jnp.asarray(accept[2])

@@ -130,6 +130,40 @@ def test_pallas_multidevice_round_robin():
     np.testing.assert_array_equal(keys_e, keys)
 
 
+def test_pallas_with_positions_matches_golden():
+    """The survivor position channel (batched stage-I attribution) must
+    produce the exact (drtuple, window position) multiset of the golden
+    scan — including through the overflow rerun path."""
+    rng = np.random.default_rng(13)
+    shuf = make_shuf(SketchParams(k=11, subk=6, drlevel=3), seed=13)
+    codes = rng.integers(0, 4, size=300_000).astype(np.uint8)
+    codes[rng.integers(0, codes.size, 120)] = 255
+    gdr, gpos = golden.window_drtuples(codes, shuf, return_positions=True)
+    res = sketch_pallas.sketch_codes_pallas(
+        codes, shuf, interpret=True, with_positions=True)
+    assert res is not None
+    dr, pos = res
+    order = np.lexsort((dr, pos))
+    gorder = np.lexsort((gdr, gpos))
+    np.testing.assert_array_equal(pos[order], gpos[gorder])
+    np.testing.assert_array_equal(dr[order],
+                                  gdr[gorder].astype(np.uint32))
+    # overflow rerun path: force a tiny slot budget
+    old = sketch_pallas.CSLOT, sketch_pallas.MAXS
+    sketch_pallas.CSLOT, sketch_pallas.MAXS = 1, 128
+    sketch_pallas.sketch_tiles_compact_pallas.clear_cache()
+    try:
+        dr2, pos2 = sketch_pallas.sketch_codes_pallas(
+            codes, shuf, interpret=True, with_positions=True)
+    finally:
+        sketch_pallas.CSLOT, sketch_pallas.MAXS = old
+        sketch_pallas.sketch_tiles_compact_pallas.clear_cache()
+    order2 = np.lexsort((dr2, pos2))
+    np.testing.assert_array_equal(pos2[order2], gpos[gorder])
+    np.testing.assert_array_equal(dr2[order2],
+                                  gdr[gorder].astype(np.uint32))
+
+
 def test_pallas_rejects_huge_accept_table():
     shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=0), seed=4)
     codes = np.zeros(1000, np.uint8)
