@@ -359,11 +359,22 @@ def sketch_codes(codes: np.ndarray, shuf: DimShuffle,
         return (np.zeros(0, np.uint64) if not stream_order
                 else (np.zeros(0, np.int64), np.zeros(0, np.uint64)))
 
-    if not stream_order and _pallas_usable(shuf, accept):
+    if _pallas_usable(shuf, accept):
         from metakssd_tpu.ops import sketch_pallas
-        res = sketch_pallas.sketch_codes_pallas(codes, shuf, accept=accept)
-        if res is not None:
-            return res[0].astype(np.uint64)
+        if stream_order:
+            # fused kernel + survivor position channel, host-sorted
+            # back to stream order (per-read sketching contract)
+            res = sketch_pallas.sketch_codes_pallas(
+                codes, shuf, accept=accept, with_positions=True)
+            if res is not None:
+                dr, pos = res
+                order = np.argsort(pos, kind="stable")
+                return pos[order], dr[order].astype(np.uint64)
+        else:
+            res = sketch_pallas.sketch_codes_pallas(codes, shuf,
+                                                    accept=accept)
+            if res is not None:
+                return res[0].astype(np.uint64)
 
     out_keys = []
     out_pos = []
