@@ -38,12 +38,16 @@ a2d = jax.device_put(np.asarray(a_tups).reshape(-1, 128))
 p2d = jax.device_put(np.asarray(a_pf).reshape(-1, 128))
 lev2d = jax.device_put(sketch_pallas._bfs_levels(np.asarray(a_tups)))
 
+use_bfs, pack, use_sig = sketch_pallas.kernel_modes(p, a_tups.size)
+sig2d = jax.device_put(sketch_pallas._sig_tables(np.asarray(a_tups))) \
+    if use_sig else None
 kw = dict(k=p.k, subk=p.subk, drlevel=p.drlevel, nblocks=NBLOCKS,
-          n_accept=a_tups.size, use_bfs=True, pack=True)
+          n_accept=a_tups.size, use_bfs=use_bfs, pack=pack,
+          use_sig=use_sig)
 fn = lambda t: sketch_pallas.sketch_tiles_compact_pallas(  # noqa: E731
-    t, a2d, p2d, lev2d, **kw)
+    t, a2d, p2d, lev2d, sig2d, **kw)
 vary = [jax.block_until_ready(tiles ^ i) for i in range(K)]
-out, cnt = fn(vary[0])
+out, _dims, _poss, cnt = fn(vary[0])
 np.asarray(cnt)                      # warm compile + execute
 print(f"RWIN={sketch_pallas.RWIN} CSLOT={sketch_pallas.CSLOT} "
       f"nblocks={NBLOCKS} survivors={int(np.asarray(cnt).sum())}",
@@ -53,7 +57,7 @@ for rep in range(3):
     t0 = time.time()
     outs = [fn(vary[i]) for i in range(K)]
     for o in outs:
-        np.asarray(o[1])
+        np.asarray(o[3])
     dt = time.time() - t0
     best = min(best, dt)
     print(f"  rep{rep}: {dt*1000/K:.1f} ms/dispatch "

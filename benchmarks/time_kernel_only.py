@@ -56,7 +56,7 @@ def time_chain(name, fn):
         t0 = time.time()
         outs = [fn(i) for i in range(K)]
         for o in outs:
-            r = o[1] if isinstance(o, tuple) else o
+            r = o[-1] if isinstance(o, tuple) else o
             np.asarray(r)
         dt = time.time() - t0
         print(f"  {name} rep{rep}: {dt*1000/K:.0f} ms/dispatch "

@@ -389,14 +389,15 @@ def _compact_kernel(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref,
         posc = jnp.concatenate(prows_, axis=0).astype(jnp.uint32)
         pos_ref[0] = jnp.where(valid, posc, jnp.uint32(SENT))
     else:
-        pos_ref[0] = jnp.zeros((1, CSLOT, LANES), jnp.uint32)[0]
+        # unused channel: its out_shape shrinks to one row (see caller)
+        pos_ref[0] = jnp.zeros((1, 1, LANES), jnp.uint32)[0]
     if use_sig:
         # emit (base|pos7, dim) pairs; exact verify happens on the host
         dimc = jax.lax.bitcast_convert_type(
             jnp.concatenate(drows, axis=0), jnp.uint32)
         dim_ref[0] = jnp.where(valid, dimc, jnp.uint32(SENT))
     else:
-        dim_ref[0] = jnp.zeros((1, CSLOT, LANES), jnp.uint32)[0]
+        dim_ref[0] = jnp.zeros((1, 1, LANES), jnp.uint32)[0]
         if pack:
             # resolve pfilter on the compacted tile: dr = base +
             # pfilters[idx] (no carry: pfilters < n_accept <=
@@ -441,6 +442,10 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
                              drlevel=drlevel, n_accept=n_accept,
                              use_bfs=use_bfs, pack=pack, use_sig=use_sig,
                              want_pos=want_pos)
+    # unused channels shrink to a single padding row (want_pos/use_sig
+    # are static, so the trace picks the cheap shape)
+    dim_rows = MAXS // LANES if use_sig else 1
+    pos_rows = MAXS // LANES if want_pos else 1
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
@@ -455,9 +460,9 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
         out_specs=[
             pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, dim_rows, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MAXS // LANES, LANES), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, pos_rows, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nblocks,), lambda b: (0,),
                          memory_space=pltpu.SMEM),
@@ -465,9 +470,9 @@ def sketch_tiles_compact_pallas(tiles, accept2d, pfil2d, lev2d,
         out_shape=[
             jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
                                  jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
+            jax.ShapeDtypeStruct((nblocks, dim_rows, LANES),
                                  jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks, MAXS // LANES, LANES),
+            jax.ShapeDtypeStruct((nblocks, pos_rows, LANES),
                                  jnp.uint32),
             jax.ShapeDtypeStruct((nblocks,), jnp.int32),
         ],
@@ -644,16 +649,18 @@ def sketch_codes_pallas(codes: np.ndarray, shuf, accept=None,
         # through the XLA path; the in-VMEM select chains scale ~n/128
         return None
 
-    from metakssd_tpu.ops.sketch_xla import pack_codes
-
-    a2d = jnp.asarray(a_tups.reshape(-1, LANES))
-    p2d = jnp.asarray(a_pf.reshape(-1, LANES))
     # BFS splitter levels need a power-of-two table; the packed-index
     # compaction additionally needs the index to fit the drtuple's zero
     # low bits (true for every 16^(subk-drlevel) >= 4096 config)
     use_bfs, pack, use_sig = kernel_modes(p, n_accept)
     if with_positions and not (use_sig and compact):
+        # before any device staging: the caller falls back to XLA
         return None
+
+    from metakssd_tpu.ops.sketch_xla import pack_codes
+
+    a2d = jnp.asarray(a_tups.reshape(-1, LANES))
+    p2d = jnp.asarray(a_pf.reshape(-1, LANES))
     lev2d = jnp.asarray(_bfs_levels(a_tups) if use_bfs
                         else np.zeros((1, LANES), np.uint32))
     sig2d = jnp.asarray(_sig_tables(a_tups)) if use_sig else None
