@@ -57,9 +57,23 @@ class _CompIndex:
         if staged is not None:
             self.rk, self.starts, self.gid_sorted = staged
         else:
-            order = np.argsort(ref_ids)
-            sk = ref_ids[order]
-            self.gid_sorted = prow[order]
+            from metakssd_tpu.io import native as native_io
+            # one explicit copy of the (possibly mmap'd) key stream; the
+            # caller-owned prow (np.repeat product) is consumed in place
+            # when it already has the right dtype/layout
+            sk = np.empty(np.asarray(ref_ids).size, np.uint32)
+            np.copyto(sk, ref_ids, casting="unsafe")
+            gs = prow if (isinstance(prow, np.ndarray)
+                          and prow.dtype == np.int32
+                          and prow.flags.c_contiguous
+                          and prow.flags.writeable) else \
+                np.array(prow, dtype=np.int32, order="C")
+            if native_io.kv_radix_sort(sk, gs):
+                self.gid_sorted = gs    # cold staging: 59M postings in
+            else:                       # ~2 s vs ~7 s argsort+gather
+                order = np.argsort(ref_ids, kind="stable")
+                sk = np.asarray(ref_ids)[order]
+                self.gid_sorted = prow[order]
             # unique of a sorted array without np.unique's second sort
             first = np.empty(sk.size, dtype=bool)
             first[0] = True

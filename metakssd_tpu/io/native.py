@@ -115,6 +115,11 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint16)]
+    lib.kv_radix_sort_u32.restype = None
+    lib.kv_radix_sort_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.postings_group_stats.restype = None
     lib.postings_group_stats.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
@@ -386,6 +391,27 @@ def postings_count_ranges(st: np.ndarray, en: np.ndarray,
         gids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         acc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(acc.size))
+    return True
+
+
+def kv_radix_sort(keys: np.ndarray, vals: np.ndarray):
+    """Stable in-place sort of (uint32 key, int32 val) pairs by key
+    (parallel LSD radix; builds the MarkerDB inverted index ~3x faster
+    than argsort+gather at 59M postings).  Returns False if the lib is
+    unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert keys.dtype == np.uint32 and vals.dtype == np.int32
+    assert keys.flags.c_contiguous and vals.flags.c_contiguous
+    ks = np.empty_like(keys)
+    vs = np.empty_like(vals)
+    lib.kv_radix_sort_u32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(keys.size),
+        ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return True
 
 

@@ -12,6 +12,10 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -146,6 +150,98 @@ void postings_group_stats(
     delete[] cur;
     delete[] grouped;
     delete[] off;
+}
+
+// Stable LSD radix sort of (u32 key, i32 val) pairs by key, in place.
+// An even number of digit passes (16-bit digits when the key range
+// needs >16 bits, one 8+8 split otherwise) with per-thread histograms;
+// scratch is caller-provided (n keys + n vals).  Used to build the
+// MarkerDB inverted index (sort 59M postings by k-mer): ~3-5x numpy's
+// argsort + gather, and stable (genome ids stay ascending within a
+// k-mer, the concatenated-combco input order).
+void kv_radix_sort_u32(uint32_t* keys, int32_t* vals, int64_t n,
+                       uint32_t* kscratch, int32_t* vscratch) {
+    if (n <= 1) return;
+    int nt = 1;
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+#pragma omp single
+        nt = omp_get_num_threads();
+    }
+#endif
+    if (nt > 64) nt = 64;
+    uint32_t maxk = 0;
+#pragma omp parallel for reduction(max : maxk)
+    for (int64_t i = 0; i < n; i++)
+        if (keys[i] > maxk) maxk = keys[i];
+    int nbits = 1;
+    while (nbits < 32 && (maxk >> nbits)) nbits++;
+    // two passes always (even count keeps the result in keys/vals).
+    // 16-bit first digit measured fastest at 59M on this host (64K
+    // buckets; fewer/smaller buckets lose to false sharing): the
+    // second pass covers the remaining bits and degenerates to a
+    // stable copy for keys <= 16 bits.
+    // measured at 59M pairs on this host: balanced digits win for
+    // >16-bit keys ((14,14) 2.2s / (16,12) 2.4s / (12,16) 2.7s at 28
+    // bits; (16,16) 1.3s at 32); a single digit + stable copy-back
+    // wins for <= 16-bit keys (tiny second digits false-share)
+    const int d0 = nbits > 16 ? (nbits + 1) / 2 : nbits;
+    const int digit_bits[2] = {d0, nbits - d0};
+    const int shifts[2] = {0, d0};
+    const size_t nb_max =
+        (size_t)1 << (d0 > nbits - d0 ? d0 : nbits - d0);
+    std::vector<int64_t> hist((size_t)nt * nb_max);
+    uint32_t* ksrc = keys;
+    int32_t* vsrc = vals;
+    uint32_t* kdst = kscratch;
+    int32_t* vdst = vscratch;
+    for (int pass = 0; pass < 2; pass++) {
+        const int shift = shifts[pass];
+        const uint32_t mask =
+            (uint32_t)(((uint64_t)1 << digit_bits[pass]) - 1);
+        const size_t nb = (size_t)mask + 1;
+        std::memset(hist.data(), 0, (size_t)nt * nb * sizeof(int64_t));
+#pragma omp parallel num_threads(nt)
+        {
+#ifdef _OPENMP
+            const int tid = omp_get_thread_num();
+#else
+            const int tid = 0;
+#endif
+            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
+            int64_t* h = hist.data() + (size_t)tid * nb;
+            for (int64_t i = lo; i < hi; i++)
+                h[(ksrc[i] >> shift) & mask]++;
+        }
+        // exclusive prefix over (bucket, thread): thread t's bucket b
+        // region starts after all smaller buckets and earlier threads
+        int64_t sum = 0;
+        for (size_t b = 0; b < nb; b++)
+            for (int t = 0; t < nt; t++) {
+                int64_t c = hist[(size_t)t * nb + b];
+                hist[(size_t)t * nb + b] = sum;
+                sum += c;
+            }
+#pragma omp parallel num_threads(nt)
+        {
+#ifdef _OPENMP
+            const int tid = omp_get_thread_num();
+#else
+            const int tid = 0;
+#endif
+            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
+            int64_t* h = hist.data() + (size_t)tid * nb;
+            for (int64_t i = lo; i < hi; i++) {
+                int64_t d = h[(ksrc[i] >> shift) & mask]++;
+                kdst[d] = ksrc[i];
+                vdst[d] = vsrc[i];
+            }
+        }
+        std::swap(ksrc, kdst);
+        std::swap(vsrc, vdst);
+    }
+    (void)vsrc;
 }
 
 }  // extern "C"
