@@ -46,10 +46,27 @@ class InvertedIndex:
         for g in range(cd.stat.infile_num):
             gid[int(index[g]):int(index[g + 1])] = g
         # stable sort by k-mer id keeps genome order inside each row
-        order = np.argsort(ids, kind="stable")
-        sk = ids[order]
-        sg = gid[order]
-        kmers, starts = np.unique(sk, return_index=True)
+        # (native two-pass radix pair-sort; numpy stable argsort is
+        # ~7x slower at stage-II scale)
+        from metakssd_tpu.io import native as native_io
+        sk = np.empty(n, np.uint32)
+        np.copyto(sk, ids, casting="unsafe")
+        if native_io.kv_radix_sort(sk, gid.view(np.int32)):
+            sg = gid
+        else:
+            order = np.argsort(ids, kind="stable")
+            sk = np.asarray(ids)[order]
+            sg = gid[order]
+        # unique of a sorted array without np.unique's internal re-sort
+        if n:
+            first = np.empty(n, dtype=bool)
+            first[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=first[1:])
+            kmers = sk[first]
+            starts = np.flatnonzero(first)
+        else:
+            kmers = sk
+            starts = np.zeros(0, np.int64)
         offsets = np.empty(kmers.size + 1, dtype=np.uint64)
         offsets[:-1] = starts
         offsets[-1] = n
