@@ -115,6 +115,10 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint16)]
+    lib.k_radix_sort_u32.restype = None
+    lib.k_radix_sort_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32)]
     lib.kv_radix_sort_u32.restype = None
     lib.kv_radix_sort_u32.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -412,6 +416,21 @@ def kv_radix_sort(keys: np.ndarray, vals: np.ndarray):
         ctypes.c_int64(keys.size),
         ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         vs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return True
+
+
+def radix_sort_u32(keys: np.ndarray):
+    """In-place parallel radix sort of a uint32 array; False when the
+    native lib is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert keys.dtype == np.uint32 and keys.flags.c_contiguous
+    ks = np.empty_like(keys)
+    lib.k_radix_sort_u32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(keys.size),
+        ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return True
 
 

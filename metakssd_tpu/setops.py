@@ -60,6 +60,29 @@ def _device_unique(ids: np.ndarray, return_counts: bool):
     return pmesh.device_union(ids, m, return_counts=return_counts)
 
 
+def _host_unique(ids: np.ndarray, return_counts: bool):
+    """np.unique semantics via the native parallel radix sort + one
+    linear pass — ~3x numpy at pan-build scale (np.unique is a serial
+    introsort).  Falls back to np.unique without the native lib."""
+    from metakssd_tpu.io import native as native_io
+    if ids.size >= (1 << 20):
+        sk = np.empty(np.asarray(ids).size, np.uint32)
+        np.copyto(sk, ids, casting="unsafe")
+        if native_io.radix_sort_u32(sk):
+            first = np.empty(sk.size, dtype=bool)
+            first[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=first[1:])
+            vals = sk[first]
+            if not return_counts:
+                return vals
+            idx = np.flatnonzero(first)
+            counts = np.empty(idx.size, np.int64)
+            counts[:-1] = np.diff(idx)
+            counts[-1] = sk.size - idx[-1]
+            return vals, counts
+    return np.unique(ids, return_counts=return_counts)
+
+
 @_timed("set.union")
 def sketch_union(insketch: str, outdir: str) -> None:
     """-u: union of all sketches -> pan.c (reference command_set.c:241-319)."""
@@ -69,7 +92,7 @@ def sketch_union(insketch: str, outdir: str) -> None:
     for c in range(cd.stat.comp_num):
         pan = _device_unique(cd.ids[c], False)
         if pan is None:
-            pan = np.unique(cd.ids[c])
+            pan = _host_unique(cd.ids[c], False)
         pan.astype(np.uint32).tofile(os.path.join(outdir, f"{PAN_PREFIX}.{c}"))
 
 
@@ -85,7 +108,7 @@ def uniq_sketch_union(insketch: str, outdir: str) -> None:
         if dev is not None:
             vals, counts = dev
         else:
-            vals, counts = np.unique(cd.ids[c], return_counts=True)
+            vals, counts = _host_unique(cd.ids[c], True)
         vals[counts == 1].astype(np.uint32).tofile(
             os.path.join(outdir, f"{UNIQ_PAN_PREFIX}.{c}"))
 

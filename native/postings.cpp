@@ -244,4 +244,73 @@ void kv_radix_sort_u32(uint32_t* keys, int32_t* vals, int64_t n,
     (void)vsrc;
 }
 
+// Key-only variant of kv_radix_sort_u32 (same digit strategy): sorts
+// keys in place using caller scratch.  Host pan-build unions sort +
+// linear-unique with this at ~2x np.unique's cache-bound rate.
+void k_radix_sort_u32(uint32_t* keys, int64_t n, uint32_t* kscratch) {
+    if (n <= 1) return;
+    int nt = 1;
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+#pragma omp single
+        nt = omp_get_num_threads();
+    }
+#endif
+    if (nt > 64) nt = 64;
+    uint32_t maxk = 0;
+#pragma omp parallel for reduction(max : maxk)
+    for (int64_t i = 0; i < n; i++)
+        if (keys[i] > maxk) maxk = keys[i];
+    int nbits = 1;
+    while (nbits < 32 && (maxk >> nbits)) nbits++;
+    const int d0 = nbits > 16 ? (nbits + 1) / 2 : nbits;
+    const int digit_bits[2] = {d0, nbits - d0};
+    const int shifts[2] = {0, d0};
+    const size_t nb_max =
+        (size_t)1 << (d0 > nbits - d0 ? d0 : nbits - d0);
+    std::vector<int64_t> hist((size_t)nt * nb_max);
+    uint32_t* ksrc = keys;
+    uint32_t* kdst = kscratch;
+    for (int pass = 0; pass < 2; pass++) {
+        const int shift = shifts[pass];
+        const uint32_t mask =
+            (uint32_t)(((uint64_t)1 << digit_bits[pass]) - 1);
+        const size_t nb = (size_t)mask + 1;
+        std::memset(hist.data(), 0, (size_t)nt * nb * sizeof(int64_t));
+#pragma omp parallel num_threads(nt)
+        {
+#ifdef _OPENMP
+            const int tid = omp_get_thread_num();
+#else
+            const int tid = 0;
+#endif
+            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
+            int64_t* h = hist.data() + (size_t)tid * nb;
+            for (int64_t i = lo; i < hi; i++)
+                h[(ksrc[i] >> shift) & mask]++;
+        }
+        int64_t sum = 0;
+        for (size_t b = 0; b < nb; b++)
+            for (int t = 0; t < nt; t++) {
+                int64_t c = hist[(size_t)t * nb + b];
+                hist[(size_t)t * nb + b] = sum;
+                sum += c;
+            }
+#pragma omp parallel num_threads(nt)
+        {
+#ifdef _OPENMP
+            const int tid = omp_get_thread_num();
+#else
+            const int tid = 0;
+#endif
+            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
+            int64_t* h = hist.data() + (size_t)tid * nb;
+            for (int64_t i = lo; i < hi; i++)
+                kdst[h[(ksrc[i] >> shift) & mask]++] = ksrc[i];
+        }
+        std::swap(ksrc, kdst);
+    }
+}
+
 }  // extern "C"
