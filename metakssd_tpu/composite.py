@@ -58,28 +58,27 @@ class _CompIndex:
             self.rk, self.starts, self.gid_sorted = staged
         else:
             from metakssd_tpu.io import native as native_io
-            # one explicit copy of the (possibly mmap'd) key stream; the
-            # caller-owned prow (np.repeat product) is consumed in place
-            # when it already has the right dtype/layout
-            sk = np.empty(np.asarray(ref_ids).size, np.uint32)
-            np.copyto(sk, ref_ids, casting="unsafe")
-            gs = prow if (isinstance(prow, np.ndarray)
-                          and prow.dtype == np.int32
-                          and prow.flags.c_contiguous
-                          and prow.flags.writeable) else \
-                np.array(prow, dtype=np.int32, order="C")
-            if native_io.kv_radix_sort(sk, gs):
+            if native_io.available():
+                # one explicit copy of the (possibly mmap'd) key
+                # stream; the caller-owned prow (np.repeat product) is
+                # consumed in place when it has the right dtype/layout
+                sk = np.empty(np.asarray(ref_ids).size, np.uint32)
+                np.copyto(sk, ref_ids, casting="unsafe")
+                gs = prow if (isinstance(prow, np.ndarray)
+                              and prow.dtype == np.int32
+                              and prow.flags.c_contiguous
+                              and prow.flags.writeable) else \
+                    np.array(prow, dtype=np.int32, order="C")
+                native_io.kv_radix_sort(sk, gs)
                 self.gid_sorted = gs    # cold staging: 59M postings in
-            else:                       # ~2 s vs ~7 s argsort+gather
+            else:                       # ~2.3 s vs ~7 s argsort+gather
                 order = np.argsort(ref_ids, kind="stable")
                 sk = np.asarray(ref_ids)[order]
                 self.gid_sorted = prow[order]
             # unique of a sorted array without np.unique's second sort
-            first = np.empty(sk.size, dtype=bool)
-            first[0] = True
-            np.not_equal(sk[1:], sk[:-1], out=first[1:])
+            from metakssd_tpu.utils import sorted_unique_first
+            first, starts = sorted_unique_first(sk)
             self.rk = sk[first]
-            starts = np.flatnonzero(first)
             self.starts = np.empty(self.rk.size + 1, dtype=np.int64)
             self.starts[:-1] = starts
             self.starts[-1] = sk.size

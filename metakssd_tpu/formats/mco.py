@@ -49,24 +49,19 @@ class InvertedIndex:
         # (native two-pass radix pair-sort; numpy stable argsort is
         # ~7x slower at stage-II scale)
         from metakssd_tpu.io import native as native_io
-        sk = np.empty(n, np.uint32)
-        np.copyto(sk, ids, casting="unsafe")
-        if native_io.kv_radix_sort(sk, gid.view(np.int32)):
+        if native_io.available():
+            sk = np.empty(n, np.uint32)
+            np.copyto(sk, ids, casting="unsafe")
+            native_io.kv_radix_sort(sk, gid.view(np.int32))
             sg = gid
         else:
             order = np.argsort(ids, kind="stable")
             sk = np.asarray(ids)[order]
             sg = gid[order]
         # unique of a sorted array without np.unique's internal re-sort
-        if n:
-            first = np.empty(n, dtype=bool)
-            first[0] = True
-            np.not_equal(sk[1:], sk[:-1], out=first[1:])
-            kmers = sk[first]
-            starts = np.flatnonzero(first)
-        else:
-            kmers = sk
-            starts = np.zeros(0, np.int64)
+        from metakssd_tpu.utils import sorted_unique_first
+        first, starts = sorted_unique_first(sk)
+        kmers = sk[first]
         offsets = np.empty(kmers.size + 1, dtype=np.uint64)
         offsets[:-1] = starts
         offsets[-1] = n

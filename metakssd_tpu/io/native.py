@@ -38,7 +38,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if not hasattr(lib, "postings_group_stats"):
+    if not hasattr(lib, "k_radix_sort_u32"):
         # stale build from an older source revision: rebuild once
         try:
             subprocess.run(["make", "-B", "-C", _NATIVE_DIR,
@@ -47,7 +47,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             return None
-        if not hasattr(lib, "postings_group_stats"):
+        if not hasattr(lib, "k_radix_sort_u32"):
             return None
     lib.fastseq_set_threads.restype = None
     lib.fastseq_set_threads.argtypes = [ctypes.c_int]
@@ -406,8 +406,13 @@ def kv_radix_sort(keys: np.ndarray, vals: np.ndarray):
     lib = _load()
     if lib is None:
         return False
-    assert keys.dtype == np.uint32 and vals.dtype == np.int32
-    assert keys.flags.c_contiguous and vals.flags.c_contiguous
+    if (keys.dtype != np.uint32 or vals.dtype != np.int32
+            or not keys.flags.c_contiguous
+            or not vals.flags.c_contiguous
+            or keys.size != vals.size):
+        raise ValueError("kv_radix_sort: need equal-size contiguous "
+                         f"uint32/int32 arrays, got {keys.dtype}"
+                         f"[{keys.size}] / {vals.dtype}[{vals.size}]")
     ks = np.empty_like(keys)
     vs = np.empty_like(vals)
     lib.kv_radix_sort_u32(
@@ -425,7 +430,9 @@ def radix_sort_u32(keys: np.ndarray):
     lib = _load()
     if lib is None:
         return False
-    assert keys.dtype == np.uint32 and keys.flags.c_contiguous
+    if keys.dtype != np.uint32 or not keys.flags.c_contiguous:
+        raise ValueError("radix_sort_u32: need a contiguous uint32 "
+                         f"array, got {keys.dtype}")
     ks = np.empty_like(keys)
     lib.k_radix_sort_u32(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

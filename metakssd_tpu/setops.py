@@ -65,21 +65,19 @@ def _host_unique(ids: np.ndarray, return_counts: bool):
     linear pass — ~3x numpy at pan-build scale (np.unique is a serial
     introsort).  Falls back to np.unique without the native lib."""
     from metakssd_tpu.io import native as native_io
-    if ids.size >= (1 << 20):
+    if ids.size >= (1 << 20) and native_io.available():
         sk = np.empty(np.asarray(ids).size, np.uint32)
         np.copyto(sk, ids, casting="unsafe")
-        if native_io.radix_sort_u32(sk):
-            first = np.empty(sk.size, dtype=bool)
-            first[0] = True
-            np.not_equal(sk[1:], sk[:-1], out=first[1:])
-            vals = sk[first]
-            if not return_counts:
-                return vals
-            idx = np.flatnonzero(first)
-            counts = np.empty(idx.size, np.int64)
-            counts[:-1] = np.diff(idx)
-            counts[-1] = sk.size - idx[-1]
-            return vals, counts
+        native_io.radix_sort_u32(sk)
+        from metakssd_tpu.utils import sorted_unique_first
+        first, idx = sorted_unique_first(sk)
+        vals = sk[first]
+        if not return_counts:
+            return vals
+        counts = np.empty(idx.size, np.int64)
+        counts[:-1] = np.diff(idx)
+        counts[-1] = sk.size - idx[-1]
+        return vals, counts
     return np.unique(ids, return_counts=return_counts)
 
 

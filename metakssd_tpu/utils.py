@@ -86,3 +86,18 @@ def jax_profile(outdir: str | None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def sorted_unique_first(sk):
+    """(first-occurrence mask, first indices) of an ASCENDING-sorted
+    array — the linear counterpart of np.unique's sort+diff, shared by
+    the inverted-index builders and pan unions (np.unique would re-sort
+    the already-sorted input)."""
+    import numpy as np
+    n = sk.size
+    if n == 0:
+        return (np.zeros(0, dtype=bool), np.zeros(0, np.int64))
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=first[1:])
+    return first, np.flatnonzero(first)

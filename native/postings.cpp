@@ -152,46 +152,38 @@ void postings_group_stats(
     delete[] off;
 }
 
-// Stable LSD radix sort of (u32 key, i32 val) pairs by key, in place.
-// An even number of digit passes (16-bit digits when the key range
-// needs >16 bits, one 8+8 split otherwise) with per-thread histograms;
-// scratch is caller-provided (n keys + n vals).  Used to build the
-// MarkerDB inverted index (sort 59M postings by k-mer): ~3-5x numpy's
-// argsort + gather, and stable (genome ids stay ascending within a
-// k-mer, the concatenated-combco input order).
-void kv_radix_sort_u32(uint32_t* keys, int32_t* vals, int64_t n,
-                       uint32_t* kscratch, int32_t* vscratch) {
+}  // extern "C" (reopened below)
+
+// Shared radix core: stable LSD sort of u32 keys (optionally carrying
+// an i32 value per key) with an even number of digit passes — 16-bit-
+// balanced digits for >16-bit key ranges, one digit + a stable
+// copy-back pass otherwise (measured sweep in the git history).  A
+// SINGLE parallel region per pass computes histogram, prefix, and
+// scatter with one consistent team size (OMP_DYNAMIC / THREAD_LIMIT
+// may deliver fewer threads than requested; chunk boundaries must
+// come from the actual team, or chunks would be silently dropped).
+template <bool HasVals>
+static void radix_core_u32(uint32_t* keys, int32_t* vals, int64_t n,
+                           uint32_t* kscratch, int32_t* vscratch) {
     if (n <= 1) return;
-    int nt = 1;
+    int nt_max = 1;
 #ifdef _OPENMP
-#pragma omp parallel
-    {
-#pragma omp single
-        nt = omp_get_num_threads();
-    }
+    nt_max = omp_get_max_threads();
 #endif
-    if (nt > 64) nt = 64;
+    if (nt_max > 64) nt_max = 64;
+    if (nt_max < 1) nt_max = 1;
     uint32_t maxk = 0;
 #pragma omp parallel for reduction(max : maxk)
     for (int64_t i = 0; i < n; i++)
         if (keys[i] > maxk) maxk = keys[i];
     int nbits = 1;
     while (nbits < 32 && (maxk >> nbits)) nbits++;
-    // two passes always (even count keeps the result in keys/vals).
-    // 16-bit first digit measured fastest at 59M on this host (64K
-    // buckets; fewer/smaller buckets lose to false sharing): the
-    // second pass covers the remaining bits and degenerates to a
-    // stable copy for keys <= 16 bits.
-    // measured at 59M pairs on this host: balanced digits win for
-    // >16-bit keys ((14,14) 2.2s / (16,12) 2.4s / (12,16) 2.7s at 28
-    // bits; (16,16) 1.3s at 32); a single digit + stable copy-back
-    // wins for <= 16-bit keys (tiny second digits false-share)
     const int d0 = nbits > 16 ? (nbits + 1) / 2 : nbits;
     const int digit_bits[2] = {d0, nbits - d0};
     const int shifts[2] = {0, d0};
     const size_t nb_max =
         (size_t)1 << (d0 > nbits - d0 ? d0 : nbits - d0);
-    std::vector<int64_t> hist((size_t)nt * nb_max);
+    std::vector<int64_t> hist((size_t)nt_max * nb_max);
     uint32_t* ksrc = keys;
     int32_t* vsrc = vals;
     uint32_t* kdst = kscratch;
@@ -201,116 +193,63 @@ void kv_radix_sort_u32(uint32_t* keys, int32_t* vals, int64_t n,
         const uint32_t mask =
             (uint32_t)(((uint64_t)1 << digit_bits[pass]) - 1);
         const size_t nb = (size_t)mask + 1;
-        std::memset(hist.data(), 0, (size_t)nt * nb * sizeof(int64_t));
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel num_threads(nt_max)
         {
 #ifdef _OPENMP
+            const int T = omp_get_num_threads();
             const int tid = omp_get_thread_num();
 #else
+            const int T = 1;
             const int tid = 0;
 #endif
-            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
+            const int64_t lo = n * tid / T, hi = n * (tid + 1) / T;
             int64_t* h = hist.data() + (size_t)tid * nb;
+            std::memset(h, 0, nb * sizeof(int64_t));
             for (int64_t i = lo; i < hi; i++)
                 h[(ksrc[i] >> shift) & mask]++;
-        }
-        // exclusive prefix over (bucket, thread): thread t's bucket b
-        // region starts after all smaller buckets and earlier threads
-        int64_t sum = 0;
-        for (size_t b = 0; b < nb; b++)
-            for (int t = 0; t < nt; t++) {
-                int64_t c = hist[(size_t)t * nb + b];
-                hist[(size_t)t * nb + b] = sum;
-                sum += c;
-            }
-#pragma omp parallel num_threads(nt)
-        {
-#ifdef _OPENMP
-            const int tid = omp_get_thread_num();
-#else
-            const int tid = 0;
-#endif
-            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
-            int64_t* h = hist.data() + (size_t)tid * nb;
+#pragma omp barrier
+#pragma omp single
+            {
+                // exclusive prefix over (bucket, thread): thread t's
+                // bucket b region starts after all smaller buckets and
+                // earlier threads
+                int64_t sum = 0;
+                for (size_t b = 0; b < nb; b++)
+                    for (int t = 0; t < T; t++) {
+                        int64_t c = hist[(size_t)t * nb + b];
+                        hist[(size_t)t * nb + b] = sum;
+                        sum += c;
+                    }
+            }  // implicit barrier
             for (int64_t i = lo; i < hi; i++) {
                 int64_t d = h[(ksrc[i] >> shift) & mask]++;
                 kdst[d] = ksrc[i];
-                vdst[d] = vsrc[i];
+                if (HasVals) vdst[d] = vsrc[i];
             }
         }
         std::swap(ksrc, kdst);
-        std::swap(vsrc, vdst);
+        if (HasVals) std::swap(vsrc, vdst);
     }
+    // 2 passes = even count: data is back in keys/vals already
     (void)vsrc;
 }
 
-// Key-only variant of kv_radix_sort_u32 (same digit strategy): sorts
-// keys in place using caller scratch.  Host pan-build unions sort +
-// linear-unique with this at ~2x np.unique's cache-bound rate.
+extern "C" {
+
+// Stable LSD radix sort of (u32 key, i32 val) pairs by key, in place;
+// scratch is caller-provided.  Builds the MarkerDB / stage-II inverted
+// indexes (sort 59M postings by k-mer in ~2.3 s on 2 cores, ~3x
+// numpy's argsort + gather) and keeps genome ids ascending within a
+// k-mer (stability).
+void kv_radix_sort_u32(uint32_t* keys, int32_t* vals, int64_t n,
+                       uint32_t* kscratch, int32_t* vscratch) {
+    radix_core_u32<true>(keys, vals, n, kscratch, vscratch);
+}
+
+// Key-only variant: host pan-build unions sort + linear-unique with
+// this at ~3x np.unique (40M u32 ids: 0.36 s on 2 cores).
 void k_radix_sort_u32(uint32_t* keys, int64_t n, uint32_t* kscratch) {
-    if (n <= 1) return;
-    int nt = 1;
-#ifdef _OPENMP
-#pragma omp parallel
-    {
-#pragma omp single
-        nt = omp_get_num_threads();
-    }
-#endif
-    if (nt > 64) nt = 64;
-    uint32_t maxk = 0;
-#pragma omp parallel for reduction(max : maxk)
-    for (int64_t i = 0; i < n; i++)
-        if (keys[i] > maxk) maxk = keys[i];
-    int nbits = 1;
-    while (nbits < 32 && (maxk >> nbits)) nbits++;
-    const int d0 = nbits > 16 ? (nbits + 1) / 2 : nbits;
-    const int digit_bits[2] = {d0, nbits - d0};
-    const int shifts[2] = {0, d0};
-    const size_t nb_max =
-        (size_t)1 << (d0 > nbits - d0 ? d0 : nbits - d0);
-    std::vector<int64_t> hist((size_t)nt * nb_max);
-    uint32_t* ksrc = keys;
-    uint32_t* kdst = kscratch;
-    for (int pass = 0; pass < 2; pass++) {
-        const int shift = shifts[pass];
-        const uint32_t mask =
-            (uint32_t)(((uint64_t)1 << digit_bits[pass]) - 1);
-        const size_t nb = (size_t)mask + 1;
-        std::memset(hist.data(), 0, (size_t)nt * nb * sizeof(int64_t));
-#pragma omp parallel num_threads(nt)
-        {
-#ifdef _OPENMP
-            const int tid = omp_get_thread_num();
-#else
-            const int tid = 0;
-#endif
-            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
-            int64_t* h = hist.data() + (size_t)tid * nb;
-            for (int64_t i = lo; i < hi; i++)
-                h[(ksrc[i] >> shift) & mask]++;
-        }
-        int64_t sum = 0;
-        for (size_t b = 0; b < nb; b++)
-            for (int t = 0; t < nt; t++) {
-                int64_t c = hist[(size_t)t * nb + b];
-                hist[(size_t)t * nb + b] = sum;
-                sum += c;
-            }
-#pragma omp parallel num_threads(nt)
-        {
-#ifdef _OPENMP
-            const int tid = omp_get_thread_num();
-#else
-            const int tid = 0;
-#endif
-            int64_t lo = n * tid / nt, hi = n * (tid + 1) / nt;
-            int64_t* h = hist.data() + (size_t)tid * nb;
-            for (int64_t i = lo; i < hi; i++)
-                kdst[h[(ksrc[i] >> shift) & mask]++] = ksrc[i];
-        }
-        std::swap(ksrc, kdst);
-    }
+    radix_core_u32<false>(keys, nullptr, n, kscratch, nullptr);
 }
 
 }  // extern "C"

@@ -357,3 +357,51 @@ def test_fast_f6_formatter_matches_printf():
     assert len(lines) == vals.size
     for v, ln in zip(vals.tolist(), lines):
         assert ln == b"x\t" + ("%f" % v).encode(), (v, ln)
+
+
+def test_native_radix_sorts_match_numpy_stable():
+    """kv_radix_sort / radix_sort_u32: exact + STABLE vs numpy across
+    key-width regimes (the <=16-bit single-digit degenerate pass, the
+    balanced two-digit >16-bit path) and edge sizes.  Stability is
+    load-bearing: genome ids must stay ascending within a k-mer row for
+    reference byte-parity of the persisted inverted indexes."""
+    import numpy as np
+    from metakssd_tpu.io import native as native_io
+    if not native_io.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(42)
+    for bits, n in [(8, 100_000), (16, 100_000), (17, 100_000),
+                    (28, 300_000), (32, 300_000)]:
+        keys = rng.integers(0, 1 << bits, size=n,
+                            dtype=np.int64).astype(np.uint32)
+        vals = rng.integers(-5, 5, size=n,
+                            dtype=np.int64).astype(np.int32)
+        order = np.argsort(keys, kind="stable")
+        k2, v2 = keys.copy(), vals.copy()
+        assert native_io.kv_radix_sort(k2, v2)
+        np.testing.assert_array_equal(k2, keys[order])
+        np.testing.assert_array_equal(v2, vals[order])
+        k3 = keys.copy()
+        assert native_io.radix_sort_u32(k3)
+        np.testing.assert_array_equal(k3, keys[order])
+    for m in (0, 1, 2, 3):
+        keys = rng.integers(0, 7, size=m, dtype=np.int64).astype(np.uint32)
+        vals = np.arange(m, dtype=np.int32)
+        order = np.argsort(keys, kind="stable")
+        k2, v2 = keys.copy(), vals.copy()
+        native_io.kv_radix_sort(k2, v2)
+        np.testing.assert_array_equal(k2, keys[order])
+        np.testing.assert_array_equal(v2, vals[order])
+    # all-equal keys: pure stability check
+    keys = np.zeros(10_000, np.uint32)
+    vals = np.arange(10_000, dtype=np.int32)
+    native_io.kv_radix_sort(keys, vals)
+    np.testing.assert_array_equal(vals, np.arange(10_000))
+    # malformed inputs fail loudly, not with memory corruption
+    import pytest
+    with pytest.raises(ValueError):
+        native_io.kv_radix_sort(np.zeros(4, np.uint32),
+                                np.zeros(3, np.int32))
+    with pytest.raises(ValueError):
+        native_io.radix_sort_u32(np.zeros(4, np.int64))
