@@ -192,3 +192,38 @@ def test_device_setops_byte_identical(codir, monkeypatch):
             a = open(os.path.join(host_d, f), "rb").read()
             b = open(os.path.join(dev_d, f), "rb").read()
             assert a == b, (prefix, f)
+
+
+@needs_oracle
+def test_union_parity_above_radix_threshold(tmp_path):
+    """set -u byte parity vs the oracle ABOVE the native radix-sort
+    routing threshold (>= 1M ids; the small shared fixture stays on the
+    np.unique path), with within- and cross-genome duplicates."""
+    rng = np.random.default_rng(17)
+    shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=17)
+    p = shuf.params
+    co = str(tmp_path / "co")
+    os.makedirs(co)
+    nG, per = 6, 200_000
+    ids_all, index = [], [0]
+    pool = rng.choice(np.uint32(1) << 28, 500_000,
+                      replace=False).astype(np.uint32)
+    for g in range(nG):
+        ids_all.append(np.sort(rng.choice(pool, per, replace=False)))
+        index.append(index[-1] + per)
+    np.concatenate(ids_all).tofile(os.path.join(co, "combco.0"))
+    np.array(index, dtype=np.uint64).tofile(
+        os.path.join(co, "combco.index.0"))
+    ctx = np.full(nG, per, np.uint32)
+    CoStat(shuf_id=p.shuf_id, koc=False, kmerlen=2 * p.k,
+           dim_rd_len=2 * p.drlevel, comp_num=p.component_num,
+           all_ctx_ct=int(ctx.sum()), ctx_ct=ctx,
+           names=[f"g{i}" for i in range(nG)]).write(co)
+    ref_out = str(tmp_path / "pan_ref")
+    my_out = str(tmp_path / "pan_mine")
+    oracle.run(["set", "-u", "-o", ref_out, co])
+    setops.sketch_union(co, my_out)
+    a = open(os.path.join(ref_out, "pan.0"), "rb").read()
+    b = open(os.path.join(my_out, "pan.0"), "rb").read()
+    assert len(a) >= 4 * 400_000     # ~95% pool coverage expected
+    assert a == b
