@@ -58,7 +58,8 @@ class _CompIndex:
             self.rk, self.starts, self.gid_sorted = staged
         else:
             from metakssd_tpu.io import native as native_io
-            if native_io.available():
+            if (native_io.available()
+                    and np.asarray(ref_ids).dtype.itemsize <= 4):
                 # one explicit copy of the (possibly mmap'd) key
                 # stream; the caller-owned prow (np.repeat product) is
                 # consumed in place when it has the right dtype/layout

@@ -49,7 +49,7 @@ class InvertedIndex:
         # (native two-pass radix pair-sort; numpy stable argsort is
         # ~7x slower at stage-II scale)
         from metakssd_tpu.io import native as native_io
-        if native_io.available():
+        if native_io.available() and np.asarray(ids).dtype.itemsize <= 4:
             sk = np.empty(n, np.uint32)
             np.copyto(sk, ids, casting="unsafe")
             native_io.kv_radix_sort(sk, gid.view(np.int32))

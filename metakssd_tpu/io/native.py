@@ -401,11 +401,13 @@ def postings_count_ranges(st: np.ndarray, en: np.ndarray,
 def kv_radix_sort(keys: np.ndarray, vals: np.ndarray):
     """Stable in-place sort of (uint32 key, int32 val) pairs by key
     (parallel LSD radix; builds the MarkerDB inverted index ~3x faster
-    than argsort+gather at 59M postings).  Returns False if the lib is
-    unavailable (caller falls back to numpy)."""
+    than argsort+gather at 59M postings).  Raises if the lib is
+    unavailable — callers must pre-check available(); a silent False
+    here would let unsorted data feed downstream sorted invariants."""
     lib = _load()
     if lib is None:
-        return False
+        raise RuntimeError("kv_radix_sort: native lib unavailable "
+                           "(check available() and fall back to numpy)")
     if (keys.dtype != np.uint32 or vals.dtype != np.int32
             or not keys.flags.c_contiguous
             or not vals.flags.c_contiguous
@@ -425,11 +427,12 @@ def kv_radix_sort(keys: np.ndarray, vals: np.ndarray):
 
 
 def radix_sort_u32(keys: np.ndarray):
-    """In-place parallel radix sort of a uint32 array; False when the
-    native lib is unavailable (caller falls back to numpy)."""
+    """In-place parallel radix sort of a uint32 array.  Raises when the
+    native lib is unavailable — callers must pre-check available()."""
     lib = _load()
     if lib is None:
-        return False
+        raise RuntimeError("radix_sort_u32: native lib unavailable "
+                           "(check available() and fall back to numpy)")
     if keys.dtype != np.uint32 or not keys.flags.c_contiguous:
         raise ValueError("radix_sort_u32: need a contiguous uint32 "
                          f"array, got {keys.dtype}")

@@ -65,7 +65,11 @@ def _host_unique(ids: np.ndarray, return_counts: bool):
     linear pass — ~3x numpy at pan-build scale (np.unique is a serial
     introsort).  Falls back to np.unique without the native lib."""
     from metakssd_tpu.io import native as native_io
-    if ids.size >= (1 << 20) and native_io.available():
+    if (ids.size >= (1 << 20) and native_io.available()
+            and np.asarray(ids).dtype.itemsize <= 4):
+        # itemsize guard: a wider-than-32-bit id stream would silently
+        # merge ids sharing low 32 bits on this path while np.unique
+        # would not — route it to numpy instead
         sk = np.empty(np.asarray(ids).size, np.uint32)
         np.copyto(sk, ids, casting="unsafe")
         native_io.radix_sort_u32(sk)
