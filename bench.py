@@ -146,6 +146,48 @@ def _worker_kernel() -> dict:
     return {"kernel_mwin_per_s": kernel_chain_mwin()}
 
 
+def _worker_e2e(backend: str) -> dict:
+    """Whole-workflow latency: fastq -> sketch -A -> composite profile
+    -> poisson as ONE measured flow (profile_e2e.profile_fastq), with
+    the per-stage budget; oracle baseline = its dist -A + composite on
+    the identical inputs (the reference's poisson step is a perl
+    one-liner outside the binary — negligible and uncounted on both
+    sides)."""
+    import shutil
+
+    os.environ["MKSSD_BACKEND"] = backend
+    dbdir, _, shufp = _profile_fixture()
+    fq, _ = _prepare()
+    from metakssd_tpu import profile_e2e
+    outdir = os.path.join(CACHE, "e2e_out")
+    best = None
+    for _ in range(REPS):
+        shutil.rmtree(outdir, ignore_errors=True)
+        rep = profile_e2e.profile_fastq([fq], dbdir, shufp, outdir)
+        if best is None or rep["total_s"] < best["total_s"]:
+            best = rep
+    res = {"e2e_total_s": best["total_s"],
+           "e2e_stages": {k: v for k, v in best["stages"].items()
+                          if k.startswith("e2e.")}}
+    binpath = _oracle_bin()
+    if binpath:
+        out = os.path.join(CACHE, "e2e_ref_co")
+        ref_best = float("inf")
+        for _ in range(REPS):
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            r1 = subprocess.run([binpath, "dist", "-L", shufp, "-A",
+                                 "-o", out, fq], capture_output=True)
+            r2 = subprocess.run([binpath, "composite", "-r", dbdir,
+                                 "-q", out], capture_output=True)
+            dt = time.time() - t0
+            if r1.returncode == 0 and r2.returncode == 0:
+                ref_best = min(ref_best, dt)
+        if np.isfinite(ref_best):
+            res["e2e_ref_total_s"] = round(ref_best, 4)
+    return res
+
+
 def _worker_main(argv) -> None:
     """bench.py --worker <task> <backend>; prints one JSON line."""
     task, backend = argv[0], argv[1]
@@ -166,6 +208,8 @@ def _worker_main(argv) -> None:
         res.update(_worker_abv(backend))
     elif task == "kernel":
         res.update(_worker_kernel())
+    elif task == "e2e":
+        res.update(_worker_e2e(backend))
     print("WORKER_RESULT " + json.dumps(res), flush=True)
 
 
@@ -317,7 +361,7 @@ def _worker_abv(backend: str) -> dict:
 # orchestration
 # --------------------------------------------------------------------------
 
-def _device_healthy(timeout_s: int = 240) -> bool:
+def _device_healthy(timeout_s: int = 240) -> "float | None":
     """Probe device execution in a subprocess (a wedged TPU tunnel hangs
     forever).  Generous timeout for the FIRST dispatch (a cold tunnel
     has been observed to take >200 s), but a *warm* trivial dispatch
@@ -335,16 +379,20 @@ def _device_healthy(timeout_s: int = 240) -> bool:
             "t0 = time.time();"
             "s = int(np.asarray(f(jnp.arange(8) + 1)));"  # warm dispatch
             "print(s, time.time() - t0)")
+    # Returns the warm-dispatch latency in seconds (recorded in the
+    # bench JSON as the tunnel-health annotation), or None if unhealthy.
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, timeout=timeout_s)
         if r.returncode != 0:
-            return False
+            return None
         parts = r.stdout.split()
-        return (len(parts) >= 2 and parts[0] == b"36"
-                and float(parts[1]) < 15.0)  # sum(1..8) == 36
+        if (len(parts) >= 2 and parts[0] == b"36"
+                and float(parts[1]) < 15.0):  # sum(1..8) == 36
+            return float(parts[1])
+        return None
     except (subprocess.TimeoutExpired, ValueError):
-        return False
+        return None
 
 
 def main() -> None:
@@ -352,32 +400,69 @@ def main() -> None:
         _worker_main(sys.argv[2:])
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--e2e":
+        # e2e-only: one JSON line for the integrated profiling flow
+        _prepare()
+        probe_s = _device_healthy()
+        e2e = _run_worker("e2e", "auto" if probe_s is not None else "cpu",
+                          WORKER_TIMEOUT)
+        ref = e2e.get("e2e_ref_total_s", 0.0) if e2e else 0.0
+        print(json.dumps({
+            "metric": "e2e_profile_latency_s",
+            "value": e2e["e2e_total_s"] if e2e else 0.0,
+            "unit": "s",
+            "vs_baseline": round(ref / e2e["e2e_total_s"], 3)
+            if e2e and ref else 0.0,
+            "extra": {"stages": e2e["e2e_stages"] if e2e else {},
+                      "e2e_ref_total_s": ref,
+                      "device_probe_warm_s": probe_s},
+        }))
+        return
+
     fq, shufp = _prepare()
     ref_rps = _bench_reference(fq, shufp)
 
-    healthy = _device_healthy()
-    if not healthy:
+    probe_s = _device_healthy()
+    if probe_s is None:
         # a cold tunnel attach alone has exceeded the probe budget;
         # the failed probe warms the remote side, so retry once
-        healthy = _device_healthy(120)
+        probe_s = _device_healthy(120)
+    healthy = probe_s is not None
     if not healthy:
         print("bench: device unhealthy; all measurements on cpu",
               file=sys.stderr)
 
-    extra = {}
+    # self-annotation: the tunnel's documented ~2x load swings make
+    # absolute numbers noise across rounds — record the probe latency
+    # and which backend actually carried each measurement so the JSON
+    # explains itself (a warm dispatch+readback is ~0.03 s on a healthy
+    # tunnel; minutes-long degradation episodes have been observed)
+    extra = {"device_probe_warm_s": round(probe_s, 4) if healthy
+             else None,
+             "device_healthy": healthy}
     # framework default path (auto backend: native host engine behind a
     # tunnel-attached TPU, device path on a colocated TPU)
-    res = _run_worker("sketch", "auto" if healthy else "cpu",
-                      WORKER_TIMEOUT)
+    backend = "auto" if healthy else "cpu"
+    res = _run_worker("sketch", backend, WORKER_TIMEOUT)
     if res is None and healthy:
+        backend = "cpu"
         res = _run_worker("sketch", "cpu", WORKER_TIMEOUT)
     value = res["reads_per_s"] if res else 0.0
+    extra["sketch_backend"] = backend
 
     if healthy:
         tpu = _run_worker("sketch", "tpu", WORKER_TIMEOUT)
         if tpu:
             extra["tpu_reads_per_s"] = round(tpu["reads_per_s"], 1)
-            value = max(value, tpu["reads_per_s"])
+            if ref_rps:
+                # same-run ratio: both sides measured minutes apart on
+                # this host/tunnel, so this survives the load swings
+                # that make cross-round absolute numbers incomparable
+                extra["tpu_vs_ref_same_run"] = round(
+                    tpu["reads_per_s"] / ref_rps, 2)
+            if tpu["reads_per_s"] > value:
+                value = tpu["reads_per_s"]
+                extra["sketch_backend"] = "tpu"
         kern = _run_worker("kernel", "tpu", WORKER_TIMEOUT)
         if kern:
             extra["kernel_mwin_per_s"] = round(
@@ -390,6 +475,15 @@ def main() -> None:
     abv = _run_worker("abv", "cpu", WORKER_TIMEOUT)
     if abv:
         extra.update({k: round(v, 1) for k, v in abv.items()})
+    e2e = _run_worker("e2e", "auto" if healthy else "cpu",
+                      WORKER_TIMEOUT)
+    if e2e:
+        extra["e2e_total_s"] = e2e["e2e_total_s"]
+        extra["e2e_stages"] = e2e["e2e_stages"]
+        if "e2e_ref_total_s" in e2e:
+            extra["e2e_ref_total_s"] = e2e["e2e_ref_total_s"]
+            extra["e2e_vs_ref"] = round(
+                e2e["e2e_ref_total_s"] / e2e["e2e_total_s"], 2)
     if ref_rps:
         extra["ref_reads_per_s"] = round(ref_rps, 1)
 

@@ -192,6 +192,26 @@ def _cmd_composite(args) -> int:
     return 0
 
 
+def _cmd_profile(args) -> int:
+    """fastq -> sketch -A -> composite -> poisson as one timed flow
+    (the reference README.md:42-51 three-command workflow)."""
+    import json
+
+    from metakssd_tpu import pipeline, profile_e2e
+    from metakssd_tpu.io import native as native_io
+    native_io.set_threads(args.threadN)
+    opts = pipeline.SketchOptions(
+        abundance=True, min_occ=args.LstKmerOcrs, min_qual=args.quality,
+        threads=args.threadN)
+    rep = profile_e2e.profile_fastq(
+        args.query, args.reference_dir, args.DimRdcLevel, args.outdir,
+        shkm_thr=args.shkm_thr, opts=opts,
+        cami=tuple(args.cami) if args.cami else None,
+        min_km_s=args.min_km_s)
+    print(json.dumps(rep), file=sys.stderr)
+    return 0
+
+
 def _cmd_reverse(args) -> int:
     from metakssd_tpu import reverse
     reverse.co_reverse2kmer(args.codir, args.shufFile, args.outdir,
@@ -289,6 +309,28 @@ def build_parser() -> argparse.ArgumentParser:
                          "value differences vs the sparse path)")
     co.add_argument("rest", nargs="*")
     co.set_defaults(func=_cmd_composite)
+
+    pf = sub.add_parser("profile",
+                        help="one-command metagenome profiling: fastq "
+                             "-> sketch -A -> composite -> poisson "
+                             "(reference README.md:42-51 workflow)")
+    pf.add_argument("-L", "--DimRdcLevel", required=True,
+                    help=".shuf used to build the MarkerDB")
+    pf.add_argument("-r", "--reference_dir", required=True,
+                    help="MarkerDB sketch dir")
+    pf.add_argument("-o", "--outdir", default=".")
+    pf.add_argument("-p", "--threadN", type=int, default=0)
+    pf.add_argument("-Q", "--quality", type=int, default=0)
+    pf.add_argument("-n", "--LstKmerOcrs", type=int, default=1)
+    pf.add_argument("-S", "--shkm-thr", type=int, default=6,
+                    dest="shkm_thr",
+                    help="min shared k-mers for poisson normalization")
+    pf.add_argument("--min-km-s", type=int, dest="min_km_s", default=None)
+    pf.add_argument("--cami", nargs=2,
+                    metavar=("PSID2NCBI_TSV", "NODES_TSV"), default=None,
+                    help="also write a CAMI-format profile")
+    pf.add_argument("query", nargs="+", help="fastq(.gz) sample files")
+    pf.set_defaults(func=_cmd_profile)
 
     rv = sub.add_parser("reverse", help="sketch -> k-mer strings")
     rv.add_argument("-L", "--shufFile", required=True)
