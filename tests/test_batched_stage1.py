@@ -28,7 +28,8 @@ def test_multi_fastq_koc_batched_parity(tmp_path):
     shufp = str(tmp_path / "t.shuf")
     write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
                                 seed=17))
-    oracle.run(["dist", "-L", shufp, "-A", "-o", str(tmp_path / "refko"),
+    oracle.run(["dist", "-L", shufp, "-A", "-p", "1",
+                "-o", str(tmp_path / "refko"),
                 str(qdir)])
     cli.main(["dist", "-L", shufp, "-A", "-o", str(tmp_path / "myko"),
               str(qdir)])

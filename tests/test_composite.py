@@ -48,7 +48,7 @@ def profiling_setup(tmp_path_factory):
     qco = {}
     for s in ("sample0", "sample1"):
         qco[s] = str(tmp / f"qco_{s}")
-        oracle.run(["dist", "-L", shufp, "-A", "-o", qco[s],
+        oracle.run(["dist", "-L", shufp, "-A", "-p", "1", "-o", qco[s],
                     str(qdir / f"{s}.fq")])
     return tmp, refco, qco
 

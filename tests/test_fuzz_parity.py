@@ -1,0 +1,211 @@
+"""Property-fuzz parity harness: randomized configs vs the oracle.
+
+Each case draws a random sketch config (k 5-14, subk 3-6, drlevel with
+the reference's primer-index constraint 4 <= k-drlevel <= 8,
+command_dist.c:286-315), a random COMPONENT_SZ build (default 8 / cs6),
+a random input class (fasta with N-runs / short-seq edges, fastq with
+random quality strings), and random mode flags (-u / -n / -Q / -A;
+fastq2co applies -n/-Q, the -A path has no quality filter,
+command_dist.c:385 + iseq2comem.c mt_shortreads2koc), then asserts
+set-level (and koc count) parity of the PRODUCT path
+(pipeline.run_stage1) against the oracle binary on the same .shuf.
+
+Time-boxed: ~MKSSD_FUZZ_SECONDS (default 25) seconds of cases in CI.
+A failing case prints its case seed; reproduce exactly that case with
+    MKSSD_FUZZ_SEED=<seed> python -m pytest tests/test_fuzz_parity.py
+
+(subk is capped at 6: the shuffle table is 4^(2*subk) ints, so subk=7
+would mean a 1 GiB .shuf — beyond anything the reference ships.)
+
+Inputs are sized to stay inside the reference's context-space budget:
+its sketch hash table is a fixed primer[4*(k-drlevel)-15] slots;
+fasta2co errs at 60% load ("context space is too crowd", use -k+1) and
+fastq2co SILENTLY DROPS k-mers once the table is 100% full (keycount
+is never incremented there — iseq2comem.c:346,399 — so the guard never
+fires; found by this fuzzer, case_seed=1004).  The dropped set depends
+on insertion order, so saturating configs have no well-defined
+reference semantics to match (docs/PARITY.md "sketch capacity").
+"""
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+import pytest
+
+from metakssd_tpu import pipeline
+from metakssd_tpu.formats.codir import CoDir
+from metakssd_tpu.formats.shuf import make_shuf, write_shuf
+from metakssd_tpu.params import SketchParams
+
+from tests import oracle
+from tests.util import random_seq, write_fasta, write_fastq
+
+BUDGET_S = float(os.environ.get("MKSSD_FUZZ_SECONDS", "25"))
+MAX_CASES = int(os.environ.get("MKSSD_FUZZ_MAX_CASES", "200"))
+ENV_SEED = os.environ.get("MKSSD_FUZZ_SEED")
+
+# deterministic opening cases covering previously-untested classes:
+# multi-component koc at high k (cs6, k-drlevel=7 -> 16 components) and
+# the full-width uint32 id case (k-drlevel=8)
+_PINNED = [101, 102]
+
+
+def _draw_config(rng):
+    subk = int(rng.integers(3, 7))
+    k = int(rng.integers(max(5, subk), min(14, subk + 8) + 1))
+    lo, hi = max(0, k - 8), min(subk, k - 4)
+    drlevel = int(rng.integers(lo, hi + 1))
+    variant = "default" if rng.random() < 0.6 else "cs6"
+    fmt = "fastq" if rng.random() < 0.5 else "fasta"
+    # stay under ~30% of the reference's hash capacity (see module doc):
+    # expected sketched k-mers ~ input_bases * accept_fraction, where
+    # dim_end floors at MIN_SUBCTX_DIM_SMP_SZ=4096 (iseq2comem.c:84) —
+    # for small subk the dim reduction is a no-op and every window is
+    # sketched
+    p = SketchParams(k=k, subk=subk, drlevel=drlevel)
+    accept_frac = min(1.0, p.dim_end / p.shuf_len)
+    cap = int(0.3 * 0.6 * p.hashsize / accept_frac)
+    cfg = {"k": k, "subk": subk, "drlevel": drlevel, "variant": variant,
+           "fmt": fmt, "cap_bases": cap, "mode_flags": [], "opts": {}}
+    if fmt == "fasta":
+        if rng.random() < 0.3:
+            cfg["mode_flags"] = ["-u"]
+            cfg["opts"] = {"dedup": True}
+    else:
+        if rng.random() < 0.45:
+            cfg["mode_flags"] = ["-A"]
+            cfg["opts"] = {"abundance": True}
+        else:
+            n = int(rng.integers(1, 4))
+            q = int(rng.choice([0, 20, 30]))
+            cfg["mode_flags"] = ["-n", str(n), "-Q", str(q)]
+            cfg["opts"] = {"min_occ": n, "min_qual": q}
+    return cfg
+
+
+def _pinned_config(case_seed):
+    if case_seed == 101:  # multi-component koc (16 comps at cs6)
+        return {"k": 13, "subk": 6, "drlevel": 6, "variant": "cs6",
+                "fmt": "fastq", "mode_flags": ["-A"],
+                "opts": {"abundance": True}}
+    return {"k": 14, "subk": 6, "drlevel": 6, "variant": "default",
+            "fmt": "fasta", "mode_flags": [], "opts": {}}  # 32-bit ids
+
+
+def _gen_input(rng, cfg, path):
+    cap = cfg.get("cap_bases", 1 << 30)
+    if cfg["fmt"] == "fasta":
+        nseq = int(rng.integers(1, 4))
+        budget = min(cap, 25000)
+        seqs = []
+        for _ in range(nseq):
+            n = int(rng.integers(40, max(41, budget // nseq)))
+            if rng.random() < 0.3 and len(seqs) > 0:
+                n = int(rng.integers(1, 4 * cfg["k"]))  # sub-window edge
+            seqs.append(random_seq(rng, n,
+                                   n_prob=float(rng.choice([0, 0.005]))))
+        if rng.random() < 0.3:   # duplicated segment (stresses -u)
+            seqs.append(seqs[0][: len(seqs[0]) // 2] * 2)
+        write_fasta(path, seqs, line_width=int(rng.integers(37, 90)))
+    else:
+        gmax = max(40, min(cap, 15000))
+        genome = random_seq(rng, int(rng.integers(gmax // 3 + 1,
+                                                  gmax + 1)))
+        nreads = int(rng.integers(200, 1500))
+        rlen = int(rng.integers(max(40, 2 * cfg["k"] + 2), 151))
+        reads, quals = [], []
+        for _ in range(nreads):
+            s = int(rng.integers(0, max(1, len(genome) - rlen)))
+            reads.append(genome[s:s + rlen])
+            # random phred 0..40 qualities to stress the -Q mask
+            quals.append("".join(chr(33 + q) for q in
+                                 rng.integers(0, 41, rlen)))
+        reads.append(genome[:int(rng.integers(1, 2 * cfg["k"]))])  # short
+        quals.append("I" * len(reads[-1]))
+        write_fastq(path, reads, quals)
+
+
+_SHUF_CACHE: dict = {}
+
+
+def _get_shuf(tmpdir, cfg):
+    key = (cfg["k"], cfg["subk"], cfg["drlevel"])
+    if key not in _SHUF_CACHE:
+        # deterministic seed (NOT hash(): Python salts tuple hashes per
+        # process, which would make failing cases unreproducible)
+        shuf = make_shuf(SketchParams(k=cfg["k"], subk=cfg["subk"],
+                                      drlevel=cfg["drlevel"]),
+                         seed=key[0] * 10007 + key[1] * 101 + key[2])
+        p = os.path.join(tmpdir, f"k{key[0]}s{key[1]}l{key[2]}.shuf")
+        write_shuf(p, shuf)
+        _SHUF_CACHE[key] = (shuf, p)
+    return _SHUF_CACHE[key]
+
+
+def _run_case(tmpdir, case_seed: int, pinned: bool) -> None:
+    rng = np.random.default_rng(case_seed)
+    cfg = _pinned_config(case_seed) if pinned else _draw_config(rng)
+    if oracle.ensure_oracle(cfg["variant"]) is None:
+        pytest.skip(f"no {cfg['variant']} oracle")
+    shuf, shufp = _get_shuf(tmpdir, cfg)
+    comp_sz = 8 if cfg["variant"] == "default" else 6
+    if comp_sz != shuf.params.component_sz:
+        shuf = dataclasses.replace(
+            shuf, params=dataclasses.replace(shuf.params,
+                                             component_sz=comp_sz))
+    d = os.path.join(tmpdir, f"case{case_seed}")
+    os.makedirs(d, exist_ok=True)
+    inp = os.path.join(d, "in." + ("fq" if cfg["fmt"] == "fastq"
+                                   else "fa"))
+    _gen_input(rng, cfg, inp)
+    ctx = f"case_seed={case_seed} cfg={cfg} " \
+          f"(reproduce: MKSSD_FUZZ_SEED={case_seed})"
+
+    # -p 1: the reference's mt_shortreads2koc increments its shared
+    # hash table without atomics (iseq2comem.c:675-707), so -A counts
+    # are non-deterministic (+-1 lost updates) at p > 1 — found by this
+    # fuzzer (case 1011/1021).  Single-threaded, it matches us exactly.
+    oracle.run(["dist", "-L", shufp, "-p", "1", *cfg["mode_flags"],
+                "-o", os.path.join(d, "ref"), inp],
+               variant=cfg["variant"])
+    opts = pipeline.SketchOptions(**cfg["opts"])
+    pipeline.run_stage1([inp], shuf, os.path.join(d, "mine"), opts)
+
+    ref = CoDir.read(os.path.join(d, "ref"))
+    mine = CoDir.read(os.path.join(d, "mine"))
+    assert ref.stat.comp_num == mine.stat.comp_num, ctx
+    assert ref.stat.koc == mine.stat.koc, ctx
+    for c in range(ref.stat.comp_num):
+        ri = ref.genome_ids(c, 0)
+        mi = mine.genome_ids(c, 0)
+        order = np.argsort(ri, kind="stable")
+        np.testing.assert_array_equal(ri[order], mi,
+                                      err_msg=f"{ctx} comp={c}")
+        if ref.stat.koc:
+            np.testing.assert_array_equal(
+                ref.genome_abund(c, 0)[order], mine.genome_abund(c, 0),
+                err_msg=f"{ctx} comp={c} counts")
+    assert int(ref.stat.ctx_ct[0]) == int(mine.stat.ctx_ct[0]), ctx
+
+
+def test_fuzz_parity(tmp_path_factory):
+    if oracle.ensure_oracle() is None:
+        pytest.skip("no oracle")
+    tmpdir = str(tmp_path_factory.mktemp("fuzz"))
+    if ENV_SEED is not None:
+        seed = int(ENV_SEED)
+        _run_case(tmpdir, seed, pinned=seed in _PINNED)
+        return
+    t0 = time.time()
+    ran = 0
+    for case_seed in _PINNED:
+        _run_case(tmpdir, case_seed, pinned=True)
+        ran += 1
+    base = 1000
+    while time.time() - t0 < BUDGET_S and ran < MAX_CASES:
+        _run_case(tmpdir, base + ran, pinned=False)
+        ran += 1
+    assert ran >= len(_PINNED) + 3, \
+        f"only {ran} fuzz cases ran inside {BUDGET_S}s"

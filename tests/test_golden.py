@@ -74,7 +74,7 @@ def test_fastq_koc_abundance_parity(tmp_path):
     fq = str(tmp_path / "r.fq")
     write_fastq(fq, reads)
     out = str(tmp_path / "koc")
-    oracle.run(["dist", "-L", shufp, "-A", "-o", out, fq])
+    oracle.run(["dist", "-L", shufp, "-A", "-p", "1", "-o", out, fq])
     ref = CoDir.read(out)
     assert ref.stat.koc
 

@@ -75,7 +75,8 @@ def test_cli_stage1_abundance(tmp_path):
     shuf = make_shuf(SketchParams(k=8, subk=5, drlevel=2), seed=5)
     shufp = str(tmp_path / "t.shuf")
     write_shuf(shufp, shuf)
-    oracle.run(["dist", "-L", shufp, "-A", "-o", str(tmp_path / "refco"), fq])
+    oracle.run(["dist", "-L", shufp, "-A", "-p", "1",
+                "-o", str(tmp_path / "refco"), fq])
     cli.main(["dist", "-L", shufp, "-A", "-o", str(tmp_path / "myco"), fq])
     ref = CoDir.read(str(tmp_path / "refco"))
     mine = CoDir.read(str(tmp_path / "myco"))
