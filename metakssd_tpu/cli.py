@@ -465,9 +465,14 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if os.environ.get("MKSSD_COORDINATOR"):
         # multi-host launch (one process per host): join the JAX
-        # distributed runtime before any backend use
+        # distributed runtime before any backend use; a dead
+        # coordinator is a clean one-line error, not a hang/traceback
         from metakssd_tpu.parallel import mesh as pmesh
-        pmesh.init_distributed()
+        try:
+            pmesh.init_distributed()
+        except RuntimeError as e:
+            print(f"metakssd_tpu: {e}", file=sys.stderr)
+            return 1
     TIMER.reset()
     TIMER.meta["command"] = args.command
     try:

@@ -60,9 +60,36 @@ def init_distributed(coordinator: str | None = None,
         num_processes = int(os.environ["MKSSD_NPROCS"])
     if process_id is None:
         process_id = int(os.environ["MKSSD_PROCID"])
+    # bounded join: a dead coordinator must surface as a clean error,
+    # not an indefinite hang — and it cannot be caught around
+    # jax.distributed.initialize (the coordination client LOG(FATAL)s
+    # the whole process on deadline), so non-coordinator processes
+    # probe the coordinator socket themselves first, tolerating the
+    # normal worker-starts-first race by polling until the deadline
+    # (MKSSD_COORD_TIMEOUT seconds, default 300).
+    timeout = int(os.environ.get("MKSSD_COORD_TIMEOUT", "300"))
+    if process_id != 0:
+        import socket
+        import time as _time
+        host, _, port = coordinator.rpartition(":")
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            try:
+                socket.create_connection((host, int(port)),
+                                         timeout=2).close()
+                break
+            except OSError:
+                _time.sleep(0.5)
+        else:
+            raise RuntimeError(
+                f"multi-host join failed: coordinator {coordinator} "
+                f"unreachable within {timeout}s (process {process_id}/"
+                f"{num_processes}) — check that process 0 is up and the "
+                f"address is correct")
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               initialization_timeout=timeout)
     _DISTRIBUTED = True
     return True
 
