@@ -136,16 +136,20 @@ def main():
     db = build_markerdb(rng)
     qdir = build_queries(rng, db)
 
+    # host-only production config: no TPU plugin sitecustomize, no jax
+    # import at all (the composite host path is jax-free; the plugin
+    # preload alone costs ~2.4 s of the cold budget)
     ours_code = (
         "import sys; sys.path.insert(0, %r)\n"
-        "import resource, jax\n"
-        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import resource\n"
         "from metakssd_tpu import composite\n"
         "from metakssd_tpu.utils import TIMER\n"
         "composite.get_species_abundance(%r, %r, use_device=False)\n"
+        "assert 'jax' not in sys.modules, 'host path pulled jax'\n"
         "TIMER.report()\n"
         % (REPO, db, qdir))
     env = dict(os.environ, MKSSD_LOG="json")
+    env["PYTHONPATH"] = REPO     # drop the axon sitecustomize preload
     ours_out, ours_t, ours_rss, ours_err = timed_run(
         [sys.executable, "-c", ours_code], env=env, want_stderr=True)
     import json

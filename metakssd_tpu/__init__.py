@@ -34,13 +34,24 @@ def _enable_compile_cache() -> None:
     path = _os.environ.get("MKSSD_COMPILE_CACHE") or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         ".jax_cache")
-    try:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.5)
-    except Exception:
-        pass
+    import sys as _sys
+    if "jax" in _sys.modules:
+        # jax already live (e.g. preloaded by a PJRT-plugin
+        # sitecustomize): env vars are too late, set the config
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+    else:
+        # jax not loaded yet — configure via env so importing this
+        # package stays jax-free (host-only runs never pay the ~1.8 s
+        # jax import); jax reads these at its own import time
+        _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+        _os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 
 _enable_compile_cache()

@@ -42,26 +42,28 @@ class InvertedIndex:
         ids = cd.ids[c]
         index = cd.index[c]
         n = ids.size
-        gid = np.empty(n, dtype=np.uint32)
-        for g in range(cd.stat.infile_num):
-            gid[int(index[g]):int(index[g + 1])] = g
-        # stable sort by k-mer id keeps genome order inside each row
-        # (native two-pass radix pair-sort; numpy stable argsort is
-        # ~7x slower at stage-II scale)
+        # stable sort by k-mer id keeps genome order inside each row:
+        # fused native inversion (mmap-direct read, genome rows derived
+        # in the scatter pass — no key copy / row-fill temporaries;
+        # numpy stable argsort is ~7x slower at stage-II scale)
         from metakssd_tpu.io import native as native_io
+        pair = None
         if native_io.available() and np.asarray(ids).dtype.itemsize <= 4:
-            sk = np.empty(n, np.uint32)
-            np.copyto(sk, ids, casting="unsafe")
-            native_io.kv_radix_sort(sk, gid.view(np.int32))
-            sg = gid
+            pair = native_io.invert_postings(ids, index,
+                                             cd.stat.infile_num)
+        if pair is not None:
+            sk, sg = pair[0], pair[1].view(np.uint32)
         else:
+            gid = np.empty(n, dtype=np.uint32)
+            for g in range(cd.stat.infile_num):
+                gid[int(index[g]):int(index[g + 1])] = g
             order = np.argsort(ids, kind="stable")
             sk = np.asarray(ids)[order]
             sg = gid[order]
         # unique of a sorted array without np.unique's internal re-sort
-        from metakssd_tpu.utils import sorted_unique_first
-        first, starts = sorted_unique_first(sk)
-        kmers = sk[first]
+        from metakssd_tpu.utils import sorted_first_idx
+        starts = sorted_first_idx(sk)
+        kmers = sk[starts]
         offsets = np.empty(kmers.size + 1, dtype=np.uint64)
         offsets[:-1] = starts
         offsets[-1] = n
@@ -126,13 +128,59 @@ def _aligned_bufs(nbuf: int, nbytes: int):
 def _stream_array(sink: _FileSink, arr: np.ndarray) -> None:
     """Write a contiguous array through the sink via aligned staging
     chunks (memcpy at GB/s is free next to the disk)."""
-    b = np.ascontiguousarray(arr).view(np.uint8).reshape(-1)
+    _stream_byte_parts(sink, [np.ascontiguousarray(arr)
+                              .view(np.uint8).reshape(-1)])
+
+
+def _stream_byte_parts(sink: _FileSink, parts) -> None:
+    """Stream consecutive byte arrays as one file through aligned
+    staging chunks, packing across part boundaries so every write but
+    the last stays O_DIRECT-aligned."""
+    total = sum(len(p) for p in parts)
     CHB = 1 << 27
-    mms, bufs = _aligned_bufs(1, min(CHB, max(len(b), 1)))
-    for off in range(0, len(b), CHB):
-        n = min(CHB, len(b) - off)
-        bufs[0][:n] = b[off:off + n]
-        sink.write(memoryview(mms[0])[:n])
+    mms, bufs = _aligned_bufs(1, min(CHB, max(total, 1)))
+    fill = 0
+    for p in parts:
+        off = 0
+        while off < len(p):
+            n = min(CHB - fill, len(p) - off)
+            bufs[0][fill:fill + n] = p[off:off + n]
+            fill += n
+            off += n
+            if fill == CHB:
+                sink.write(memoryview(mms[0])[:fill])
+                fill = 0
+    if fill:
+        sink.write(memoryview(mms[0])[:fill])
+
+
+def save_npy_direct(path: str, arr: np.ndarray) -> None:
+    """np.save equivalent through the O_DIRECT sink, crash-safe: the
+    .npy bytes land in a same-directory temp file and rename into place
+    atomically, so readers only ever see complete sidecars (page-cache
+    writeback throttles buffered np.save to ~180 MiB/s on this disk;
+    the sink sustains ~750)."""
+    import io as _io
+
+    from numpy.lib import format as npfmt
+    hdr = _io.BytesIO()
+    arr = np.ascontiguousarray(arr)
+    npfmt.write_array_header_1_0(hdr, npfmt.header_data_from_array_1_0(arr))
+    tmp = f"{path}.tmp{os.getpid()}"
+    sink = _FileSink(tmp)
+    try:
+        _stream_byte_parts(sink, [
+            np.frombuffer(hdr.getvalue(), np.uint8),
+            arr.view(np.uint8).reshape(-1)])
+    except BaseException:
+        sink.close()
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    sink.close()
+    os.rename(tmp, path)
 
 
 def write_mco_component(dirpath: str, c: int, inv: InvertedIndex,

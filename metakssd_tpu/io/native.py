@@ -119,6 +119,16 @@ def _load():
     lib.k_radix_sort_u32.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32)]
+    lib.sorted_first_indices_u32.restype = ctypes.c_int64
+    lib.sorted_first_indices_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.invert_postings_u32.restype = None
+    lib.invert_postings_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int32, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
     lib.kv_radix_sort_u32.restype = None
     lib.kv_radix_sort_u32.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -442,6 +452,56 @@ def radix_sort_u32(keys: np.ndarray):
         ctypes.c_int64(keys.size),
         ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return True
+
+
+def invert_postings(ids: np.ndarray, gindex: np.ndarray, nref: int):
+    """(keys_sorted u32, genome_rows i32) of a combco posting stream —
+    the fused copy + repeat + stable kv radix sort (reads the mmap'd
+    ids directly; see native/postings.cpp invert_core_u32).  None when
+    the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.uint32)
+    gindex = np.ascontiguousarray(gindex, dtype=np.uint64)
+    if gindex.size != nref + 1:
+        raise ValueError(f"invert_postings: gindex has {gindex.size} "
+                         f"entries for {nref} genomes")
+    n = ids.size
+    keys = np.empty(n, np.uint32)
+    vals = np.empty(n, np.int32)
+    ks = np.empty(n, np.uint32)
+    vs = np.empty(n, np.int32)
+    lib.invert_postings_u32(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        gindex.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int32(nref), ctypes.c_int64(n),
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return keys, vals
+
+
+def sorted_first_indices(keys: np.ndarray):
+    """int64 first-occurrence indices of an ascending-sorted uint32
+    array (parallel two-pass); None when the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if keys.dtype != np.uint32 or not keys.flags.c_contiguous:
+        raise ValueError("sorted_first_indices: need a contiguous "
+                         f"uint32 array, got {keys.dtype}")
+    kp = keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    count = lib.sorted_first_indices_u32(
+        kp, ctypes.c_int64(keys.size),
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_int64)))
+    out = np.empty(count, dtype=np.int64)
+    if count:
+        lib.sorted_first_indices_u32(
+            kp, ctypes.c_int64(keys.size),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def postings_expand(rows: np.ndarray, starts: np.ndarray,

@@ -22,89 +22,12 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 W = 2048          # haystack window block (two consecutive blocks = 4096)
 BLOCK = 2048      # needles per grid program
 UINT32_MAX = np.uint32(0xFFFFFFFF)
-
-
-def _lookup_rows(tab, pos):
-    """tab [R,128] (VMEM value), pos int32 [r,128] in [0, R*128):
-    per-element lookup via lane dynamic-gather + row select."""
-    col = pos & 127
-    row = pos >> 7
-    res = jnp.zeros(pos.shape, dtype=tab.dtype)
-    for v in range(tab.shape[0]):
-        bc = jnp.broadcast_to(tab[v][None, :], pos.shape)
-        g = jnp.take_along_axis(bc, col, axis=1)
-        res = jnp.where(row == v, g, res)
-    return res
-
-
-def _member_kernel(mblk_ref, hay0_ref, hay1_ref, val0_ref, val1_ref,
-                   needles_ref, member_ref, value_ref):
-    hay = jnp.concatenate([hay0_ref[:], hay1_ref[:]], axis=0)  # [32,128]
-    vals = jnp.concatenate([val0_ref[:], val1_ref[:]], axis=0)
-    needles = needles_ref[:]                 # [BLOCK//LANES, LANES]
-
-    n_win = 2 * W
-    pos = jnp.zeros(needles.shape, jnp.int32)
-    step = n_win // 2
-    while step >= 1:
-        mid = pos + step - 1
-        v = _lookup_rows(hay, mid)
-        pos = jnp.where(v < needles, pos + step, pos)
-        step //= 2
-    clamped = jnp.minimum(pos, n_win - 1)
-    hit = (_lookup_rows(hay, clamped) == needles) & \
-        (needles != UINT32_MAX)
-    val = jnp.where(hit, _lookup_rows(vals, clamped), np.uint32(0))
-    member_ref[:] = hit.astype(jnp.int32)
-    value_ref[:] = val
-
-
-@functools.partial(jax.jit, static_argnames=("nblocks", "interpret"))
-def _member_pallas(mblk, hay2d, val2d, needles2d, *, nblocks,
-                   interpret=False):
-    WR = W // LANES
-    BR = BLOCK // LANES
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((WR, LANES), lambda b, mblk: (mblk[b], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WR, LANES), lambda b, mblk: (mblk[b] + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WR, LANES), lambda b, mblk: (mblk[b], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WR, LANES), lambda b, mblk: (mblk[b] + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda b, mblk: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BR, LANES), lambda b, mblk: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, LANES), lambda b, mblk: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    return pl.pallas_call(
-        _member_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nblocks * BR, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks * BR, LANES), jnp.uint32),
-        ],
-        interpret=interpret,
-    )(mblk, hay2d, hay2d, val2d, val2d, needles2d)
 
 
 class StaticHaystack:
@@ -131,6 +54,7 @@ class StaticHaystack:
 
     def _stage(self):
         if self._hay2d is None:
+            import jax
             nh = self.haystack.size
             hay_pad = np.full(self.nh_pad, UINT32_MAX, dtype=np.uint32)
             hay_pad[:nh] = self.haystack
@@ -181,12 +105,15 @@ def sorted_membership(haystack, values, needles,
     if use_pallas is None:
         # auto: device membership only pays off when the device is
         # colocated (PCIe); through the axon tunnel the per-query d2h
-        # dominates (PERF.md).  MKSSD_BACKEND=tpu forces the device path.
-        from metakssd_tpu.ops.sketch_xla import _backend_policy
-        use_pallas = interpret or (_on_tpu()
-                                   and _backend_policy() == "tpu")
+        # dominates (PERF.md).  MKSSD_BACKEND=tpu forces the device
+        # path.  backend_policy is jax-free on plain hosts.
+        from metakssd_tpu.utils import backend_policy
+        use_pallas = interpret or (backend_policy() == "tpu"
+                                   and _on_tpu())
     if not use_pallas or needles.size < BLOCK or haystack.size == 0:
         return fallback(needles)
+    import jax.numpy as jnp
+    from metakssd_tpu.ops.merge_device import _member_pallas
 
     # pad haystack/values to a multiple of W (+ one extra block)
     nh = haystack.size
@@ -236,6 +163,7 @@ def sorted_membership(haystack, values, needles,
 
 def _on_tpu() -> bool:
     try:
+        import jax
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False

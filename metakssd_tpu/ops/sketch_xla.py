@@ -293,32 +293,10 @@ def _pallas_usable(shuf, accept) -> bool:
 
 
 def _backend_policy() -> str:
-    """MKSSD_BACKEND = auto (default) | tpu | cpu.
-
-    'auto' keeps sketching on the native host engine when the only TPU
-    is tunnel-attached (platform 'axon'): the host<->device link there
-    runs ~35 MB/s, which caps any device path below the native OpenMP
-    sketcher; a colocated TPU (platform 'tpu') takes the device path.
-    """
-    import os
-    mode = os.environ.get("MKSSD_BACKEND", "auto")
-    if mode in ("tpu", "cpu"):
-        return mode
-    # The tunnel plugin registers under the 'axon' backend name but its
-    # devices self-report platform 'tpu' — check the platform config
-    # (cheap, no backend init) and the registered backend names, not
-    # the device.
-    try:
-        plats = (jax.config.jax_platforms or "").split(",")
-        if "axon" in plats:
-            return "cpu"
-        from jax._src import xla_bridge
-        names = set(xla_bridge.backends().keys())
-    except Exception:
-        names = set()
-    # 'axon' = remote tunnel; anything else (real tpu, or XLA-on-CPU in
-    # tests) keeps the device path
-    return "cpu" if "axon" in names else "tpu"
+    """MKSSD_BACKEND routing — see utils.backend_policy (moved there so
+    host-only paths can consult it without importing jax)."""
+    from metakssd_tpu.utils import backend_policy
+    return backend_policy()
 
 
 def sketch_codes(codes: np.ndarray, shuf: DimShuffle,

@@ -52,8 +52,8 @@ def _device_unique(ids: np.ndarray, return_counts: bool):
     if force != "1":
         if ids.size < thr:
             return None
-        from metakssd_tpu.ops.sketch_xla import _backend_policy
-        if _backend_policy() != "tpu":
+        from metakssd_tpu.utils import backend_policy
+        if backend_policy() != "tpu":
             return None
     from metakssd_tpu.parallel import mesh as pmesh
     m = pmesh.make_mesh(n_db=1)
@@ -73,9 +73,9 @@ def _host_unique(ids: np.ndarray, return_counts: bool):
         sk = np.empty(np.asarray(ids).size, np.uint32)
         np.copyto(sk, ids, casting="unsafe")
         native_io.radix_sort_u32(sk)
-        from metakssd_tpu.utils import sorted_unique_first
-        first, idx = sorted_unique_first(sk)
-        vals = sk[first]
+        from metakssd_tpu.utils import sorted_first_idx
+        idx = sorted_first_idx(sk)
+        vals = sk[idx]
         if not return_counts:
             return vals
         counts = np.empty(idx.size, np.int64)

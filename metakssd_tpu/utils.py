@@ -88,6 +88,44 @@ def jax_profile(outdir: str | None):
         jax.profiler.stop_trace()
 
 
+def backend_policy() -> str:
+    """MKSSD_BACKEND = auto (default) | tpu | cpu — jax-free on pure
+    hosts.
+
+    'auto' keeps compute on the native host engines when the only TPU
+    is tunnel-attached (platform 'axon': the ~35 MB/s link caps any
+    device path) and takes the device path on a colocated TPU.  The
+    decision never imports jax unless an accelerator can actually be
+    present: if jax is already loaded (the axon sitecustomize preloads
+    it) the config/backends are inspected; otherwise /dev/accel* (the
+    TPU VM device nodes) gates a real import — a plain host answers
+    'cpu' in microseconds instead of paying the ~1.8 s jax import.
+    """
+    mode = os.environ.get("MKSSD_BACKEND", "auto")
+    if mode in ("tpu", "cpu"):
+        return mode
+    if "jax" not in sys.modules:
+        import glob
+        if not glob.glob("/dev/accel*") and not glob.glob("/dev/vfio"):
+            return "cpu"
+    import jax
+    # The tunnel plugin registers under the 'axon' backend name but its
+    # devices self-report platform 'tpu' — check the platform config
+    # (cheap, no backend init) and the registered backend names, not
+    # the device.
+    try:
+        plats = (jax.config.jax_platforms or "").split(",")
+        if "axon" in plats:
+            return "cpu"
+        from jax._src import xla_bridge
+        names = set(xla_bridge.backends().keys())
+    except Exception:
+        names = set()
+    # 'axon' = remote tunnel; anything else (real tpu, or XLA-on-CPU in
+    # tests) keeps the device path
+    return "cpu" if "axon" in names else "tpu"
+
+
 def sorted_unique_first(sk):
     """(first-occurrence mask, first indices) of an ASCENDING-sorted
     array — the linear counterpart of np.unique's sort+diff, shared by
@@ -101,3 +139,19 @@ def sorted_unique_first(sk):
     first[0] = True
     np.not_equal(sk[1:], sk[:-1], out=first[1:])
     return first, np.flatnonzero(first)
+
+
+def sorted_first_idx(sk):
+    """int64 first-occurrence indices of an ascending-sorted uint32
+    array — the parallel native pass when available (one boundary
+    count + one fill sweep; numpy's mask+flatnonzero route walks the
+    array serially and allocates an n-byte mask), else numpy."""
+    import numpy as np
+    sk = np.ascontiguousarray(sk)
+    if sk.dtype == np.uint32 and sk.size >= (1 << 18):
+        from metakssd_tpu.io import native as native_io
+        if native_io.available():
+            got = native_io.sorted_first_indices(sk)
+            if got is not None:
+                return got
+    return sorted_unique_first(sk)[1]

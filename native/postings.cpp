@@ -234,6 +234,97 @@ static void radix_core_u32(uint32_t* keys, int32_t* vals, int64_t n,
     (void)vsrc;
 }
 
+// Fused inverted-index build: equivalent to
+//   keys = copy(src_keys); vals = repeat(arange(nref), diff(gindex));
+//   kv_radix_sort(keys, vals)
+// but the copy and the repeat never materialise — pass 1 histograms
+// and scatters straight from the (typically mmap'd) source, deriving
+// each position's genome row by walking gindex, so the mmap faults in
+// across all threads and two 236 MB first-touch allocations (the
+// dominant cold-staging cost on this host: ~0.1 GB/s/thread fault
+// rate) disappear entirely.  Same stability/digit scheme as
+// radix_core_u32.
+static void invert_core_u32(const uint32_t* src, const uint64_t* gindex,
+                            int32_t nref, int64_t n, uint32_t* keys,
+                            int32_t* vals, uint32_t* kscratch,
+                            int32_t* vscratch) {
+    if (n <= 0) return;
+    int nt_max = 1;
+#ifdef _OPENMP
+    nt_max = omp_get_max_threads();
+#endif
+    if (nt_max > 64) nt_max = 64;
+    if (nt_max < 1) nt_max = 1;
+    uint32_t maxk = 0;
+#pragma omp parallel for reduction(max : maxk)
+    for (int64_t i = 0; i < n; i++)
+        if (src[i] > maxk) maxk = src[i];
+    int nbits = 1;
+    while (nbits < 32 && (maxk >> nbits)) nbits++;
+    const int d0 = nbits > 16 ? (nbits + 1) / 2 : nbits;
+    const int digit_bits[2] = {d0, nbits - d0};
+    const int shifts[2] = {0, d0};
+    const size_t nb_max =
+        (size_t)1 << (d0 > nbits - d0 ? d0 : nbits - d0);
+    std::vector<int64_t> hist((size_t)nt_max * nb_max);
+    for (int pass = 0; pass < 2; pass++) {
+        const uint32_t* ksrc = pass == 0 ? src : kscratch;
+        const int32_t* vsrc = pass == 0 ? nullptr : vscratch;
+        uint32_t* kdst = pass == 0 ? kscratch : keys;
+        int32_t* vdst = pass == 0 ? vscratch : vals;
+        const int shift = shifts[pass];
+        const uint32_t mask =
+            (uint32_t)(((uint64_t)1 << digit_bits[pass]) - 1);
+        const size_t nb = (size_t)mask + 1;
+#pragma omp parallel num_threads(nt_max)
+        {
+#ifdef _OPENMP
+            const int T = omp_get_num_threads();
+            const int tid = omp_get_thread_num();
+#else
+            const int T = 1;
+            const int tid = 0;
+#endif
+            const int64_t lo = n * tid / T, hi = n * (tid + 1) / T;
+            int64_t* h = hist.data() + (size_t)tid * nb;
+            std::memset(h, 0, nb * sizeof(int64_t));
+            for (int64_t i = lo; i < hi; i++)
+                h[(ksrc[i] >> shift) & mask]++;
+#pragma omp barrier
+#pragma omp single
+            {
+                int64_t sum = 0;
+                for (size_t b = 0; b < nb; b++)
+                    for (int t = 0; t < T; t++) {
+                        int64_t c = hist[(size_t)t * nb + b];
+                        hist[(size_t)t * nb + b] = sum;
+                        sum += c;
+                    }
+            }  // implicit barrier
+            if (pass == 0) {
+                // genome row of position lo: last g with gindex[g]<=lo
+                int32_t g = (int32_t)(std::upper_bound(
+                    gindex, gindex + nref + 1, (uint64_t)lo)
+                    - gindex) - 1;
+                if (g < 0) g = 0;
+                for (int64_t i = lo; i < hi; i++) {
+                    while (g + 1 <= nref - 1 &&
+                           (uint64_t)i >= gindex[g + 1]) g++;
+                    int64_t d = h[(ksrc[i] >> shift) & mask]++;
+                    kdst[d] = ksrc[i];
+                    vdst[d] = g;
+                }
+            } else {
+                for (int64_t i = lo; i < hi; i++) {
+                    int64_t d = h[(ksrc[i] >> shift) & mask]++;
+                    kdst[d] = ksrc[i];
+                    vdst[d] = vsrc[i];
+                }
+            }
+        }
+    }
+}
+
 extern "C" {
 
 // Stable LSD radix sort of (u32 key, i32 val) pairs by key, in place;
@@ -250,6 +341,65 @@ void kv_radix_sort_u32(uint32_t* keys, int32_t* vals, int64_t n,
 // this at ~3x np.unique (40M u32 ids: 0.36 s on 2 cores).
 void k_radix_sort_u32(uint32_t* keys, int64_t n, uint32_t* kscratch) {
     radix_core_u32<false>(keys, nullptr, n, kscratch, nullptr);
+}
+
+// Fused inverted-index build (see invert_core_u32 above): sorted keys
+// land in `keys`, their genome rows in `vals`, straight from the
+// mmap'd combco stream + genome index — no key copy, no materialised
+// np.repeat row array.
+void invert_postings_u32(const uint32_t* src, const uint64_t* gindex,
+                         int32_t nref, int64_t n, uint32_t* keys,
+                         int32_t* vals, uint32_t* kscratch,
+                         int32_t* vscratch) {
+    invert_core_u32(src, gindex, nref, n, keys, vals, kscratch,
+                    vscratch);
+}
+
+// First-occurrence indices of an ASCENDING-sorted u32 array (the
+// linear unique of the inverted-index builders).  Stateless two-call
+// protocol: with out == nullptr returns the distinct count; with out
+// (int64[count]) fills the indices (re-running the cheap per-chunk
+// boundary count + exclusive scan internally).  Parallel sequential
+// sweeps — faster than numpy's not_equal + flatnonzero, which
+// materialises an n-byte mask and scans it serially.
+int64_t sorted_first_indices_u32(const uint32_t* keys, int64_t n,
+                                 int64_t* out) {
+    if (n <= 0) return 0;
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    if (nt > 64) nt = 64;
+    int64_t chunk = (n + nt - 1) / nt;
+    if (chunk < 1) chunk = 1;
+    int64_t counts[64] = {0};
+    #pragma omp parallel for num_threads(nt) schedule(static, 1)
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk;
+        if (lo > n) lo = n;
+        if (hi > n) hi = n;
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; i++)
+            c += (i == 0 || keys[i] != keys[i - 1]);
+        counts[t] = c;
+    }
+    int64_t total = 0;
+    for (int t = 0; t < nt; t++) {     // exclusive scan
+        int64_t c = counts[t];
+        counts[t] = total;
+        total += c;
+    }
+    if (!out) return total;
+    #pragma omp parallel for num_threads(nt) schedule(static, 1)
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk;
+        if (lo > n) lo = n;
+        if (hi > n) hi = n;
+        int64_t d = counts[t];
+        for (int64_t i = lo; i < hi; i++)
+            if (i == 0 || keys[i] != keys[i - 1]) out[d++] = i;
+    }
+    return total;
 }
 
 }  // extern "C"

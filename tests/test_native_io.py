@@ -405,3 +405,107 @@ def test_native_radix_sorts_match_numpy_stable():
                                 np.zeros(3, np.int32))
     with pytest.raises(ValueError):
         native_io.radix_sort_u32(np.zeros(4, np.int64))
+
+
+def test_fused_invert_postings_matches_stable_argsort():
+    """invert_postings == copy + repeat + stable kv sort, across key
+    widths, empty genomes, and edge sizes (the fused cold-staging path
+    of stage_markerdb / InvertedIndex.from_codir)."""
+    import numpy as np
+    import pytest
+    from metakssd_tpu.io import native as native_io
+    if not native_io.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    for bits, nref in [(8, 7), (16, 1), (17, 40), (28, 300), (32, 3)]:
+        lens = rng.integers(0, 50, nref)   # includes empty genomes
+        gindex = np.zeros(nref + 1, np.uint64)
+        np.cumsum(lens, out=gindex[1:])
+        n = int(gindex[-1])
+        ids = rng.integers(0, 1 << bits, n,
+                           dtype=np.int64).astype(np.uint32)
+        keys, vals = native_io.invert_postings(ids, gindex, nref)
+        order = np.argsort(ids, kind="stable")
+        np.testing.assert_array_equal(keys, ids[order])
+        np.testing.assert_array_equal(
+            vals, np.repeat(np.arange(nref, dtype=np.int32),
+                            lens)[order])
+    k, v = native_io.invert_postings(np.zeros(0, np.uint32),
+                                     np.zeros(1, np.uint64), 0)
+    assert k.size == 0 and v.size == 0
+    with pytest.raises(ValueError):
+        native_io.invert_postings(np.zeros(3, np.uint32),
+                                  np.zeros(3, np.uint64), 5)
+
+
+def test_sorted_first_indices_matches_numpy():
+    import numpy as np
+    import pytest
+    from metakssd_tpu.io import native as native_io
+    from metakssd_tpu.utils import sorted_first_idx, sorted_unique_first
+    if not native_io.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 1000, 1 << 18, 3_000_000):
+        sk = np.sort(rng.integers(0, max(n // 3, 1) + 1, n,
+                                  dtype=np.int64).astype(np.uint32))
+        np.testing.assert_array_equal(native_io.sorted_first_indices(sk),
+                                      sorted_unique_first(sk)[1])
+        np.testing.assert_array_equal(sorted_first_idx(sk),
+                                      sorted_unique_first(sk)[1])
+    # all-equal and all-distinct extremes
+    np.testing.assert_array_equal(
+        native_io.sorted_first_indices(np.zeros(1000, np.uint32)), [0])
+    np.testing.assert_array_equal(
+        native_io.sorted_first_indices(np.arange(1000, dtype=np.uint32)),
+        np.arange(1000))
+
+
+def test_save_npy_direct_roundtrip(tmp_path):
+    """O_DIRECT atomic .npy writer: np.load-compatible (incl. mmap),
+    atomic (no partial file visible), all dtypes used by the staging
+    sidecars."""
+    import os
+    import numpy as np
+    from metakssd_tpu.formats.mco import save_npy_direct
+    rng = np.random.default_rng(1)
+    for arr in (np.zeros(0, np.uint32),
+                np.arange(7, dtype=np.int64),
+                rng.integers(0, 1 << 31, 1_000_003,
+                             dtype=np.int64).astype(np.uint32)):
+        p = str(tmp_path / "a.npy")
+        save_npy_direct(p, arr)
+        np.testing.assert_array_equal(np.load(p, mmap_mode="r"), arr)
+        np.testing.assert_array_equal(np.load(p), arr)
+        assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+
+
+def test_async_staging_sidecars_load_back(tmp_path):
+    """stage_markerdb's background persist produces sidecars that a
+    fresh staging call loads (wait_staging joins the writers)."""
+    import numpy as np
+    from metakssd_tpu import composite
+    from metakssd_tpu.formats.codir import write_codir
+    from metakssd_tpu.formats.costat import CoStat
+    rng = np.random.default_rng(2)
+    per_genome = []
+    for g in range(4):
+        ids = np.unique(rng.integers(0, 1 << 20, 3000,
+                                     dtype=np.int64).astype(np.uint32))
+        per_genome.append([(ids, None)])
+    ctx = np.array([g[0][0].size for g in per_genome], np.uint32)
+    db = str(tmp_path / "db")
+    write_codir(db, CoStat(7, False, 22, 6, 1, int(ctx.sum()), ctx,
+                           [f"sp{i}" for i in range(4)]), per_genome)
+    cold = composite.stage_markerdb(db)
+    composite.wait_staging()
+    composite._COMP_CACHE.clear()
+    warm = composite.stage_markerdb(db)
+    np.testing.assert_array_equal(np.asarray(cold[0].rk),
+                                  np.asarray(warm[0].rk))
+    np.testing.assert_array_equal(np.asarray(cold[0].starts),
+                                  np.asarray(warm[0].starts))
+    np.testing.assert_array_equal(np.asarray(cold[0].gid_sorted),
+                                  np.asarray(warm[0].gid_sorted))
+    assert isinstance(np.asarray(warm[0].rk).base, np.memmap) or \
+        isinstance(warm[0].rk, np.memmap)  # really loaded from sidecar
