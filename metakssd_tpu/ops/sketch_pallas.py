@@ -41,9 +41,12 @@ RWIN = int(os.environ.get("MKSSD_PALLAS_RWIN", 256))
 LANES = 128
 
 # BFS levels up to this many splitters resolve via a scalar select tree
-# instead of a lane dynamic-gather.  v5e sweep (round 3): 0 (disabled)
-# 3159 Mwin/s vs 32 -> 3026 / 64 -> 2998 — the gather wins on v5e, so
-# the tree is off by default (kept env-tunable for other TPU gens).
+# instead of a lane dynamic-gather.  v5e sweep (round 3, full-BFS
+# path): 0 (disabled) 3159 Mwin/s vs 32 -> 3026 / 64 -> 2998.  Round-5
+# sweep on the sig-probe descent (shallow levels only): 0 -> 4151,
+# 1 -> 4003, 2 -> 4093, 8 -> 4165 (noise-level; 4 blew the Mosaic
+# compile budget) — the gather wins or ties everywhere on v5e, so the
+# tree stays off by default (env-tunable for other TPU gens).
 _SELTREE_MAX = int(os.environ.get("MKSSD_PALLAS_SELTREE", 0))
 
 # Round-4 signature-probe search (compact path): stop the exact BFS at
@@ -189,8 +192,23 @@ def _window_compute(c_ref, accept_ref, pfil_ref, lev_ref, sig_ref=None, *,
         R = n_accept // LANES
         pos = jnp.zeros((RWIN, LANES), jnp.int32)
         for d in range(7):
-            bc = jnp.broadcast_to(lev_ref[d, :][None, :], pos.shape)
-            val = jnp.take_along_axis(bc, pos, axis=1)
+            sz = 1 << d
+            if sz <= _SELTREE_MAX:
+                # shallow levels: sz-1 scalar selects instead of a lane
+                # dynamic-gather (the r3 "seltree loses" sweep covered
+                # the deep BFS levels only; for sz<=4 this trades 3
+                # gathers for 4 selects — sweep MKSSD_PALLAS_SELTREE)
+                cur = [lev_ref[d, q] for q in range(sz)]
+                bit = 0
+                while len(cur) > 1:
+                    b = ((pos >> bit) & 1) == 1
+                    cur = [jnp.where(b, cur[q + 1], cur[q])
+                           for q in range(0, len(cur), 2)]
+                    bit += 1
+                val = jnp.broadcast_to(cur[0], pos.shape)
+            else:
+                bc = jnp.broadcast_to(lev_ref[d, :][None, :], pos.shape)
+                val = jnp.take_along_axis(bc, pos, axis=1)
             pos = 2 * pos + (val < dim).astype(jnp.int32)
         dimsig = dim & jnp.uint32(0xFFFF)
         hit = jnp.zeros((RWIN, LANES), jnp.bool_)
