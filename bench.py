@@ -464,6 +464,10 @@ def main() -> None:
                 value = tpu["reads_per_s"]
                 extra["sketch_backend"] = "tpu"
         kern = _run_worker("kernel", "tpu", WORKER_TIMEOUT)
+        if kern is None:
+            # transient tunnel aborts (observed: "TPU backend error
+            # (Aborted)" mid-transfer) — one retry before giving up
+            kern = _run_worker("kernel", "tpu", WORKER_TIMEOUT)
         if kern:
             extra["kernel_mwin_per_s"] = round(
                 kern["kernel_mwin_per_s"], 1)
