@@ -460,26 +460,7 @@ def sketch_codes_with_positions(codes: np.ndarray, shuf: DimShuffle,
             np.concatenate(out_pos) if out_pos else np.zeros(0, np.int64))
 
 
-def sets_from_drtuples(dr: np.ndarray, p, mode: str = "set",
-                       min_occ: int = 1
-                       ) -> list[tuple[np.ndarray, np.ndarray | None]]:
-    """Unique/count/mode-filter a drtuple multiset and split components
-    (the tail of golden.sketch_sets, shared by all sketching paths)."""
-    uniq, counts = np.unique(dr, return_counts=True)
-    if mode == "uniq":
-        uniq, counts = uniq[counts == 1], None
-    elif mode == "occ":
-        uniq, counts = uniq[counts >= min_occ], None
-    elif mode == "set":
-        counts = None
-    elif mode == "koc":
-        counts = np.minimum(counts, 0xFFFF).astype(np.uint16)
-    else:
-        raise ValueError(mode)
-    comp = (uniq % np.uint64(p.component_num)).astype(np.int64)
-    ids = (uniq >> np.uint64(p.comp_code_bits)).astype(np.uint32)
-    return [(ids[comp == ci], counts[comp == ci] if counts is not None else None)
-            for ci in range(p.component_num)]
+from metakssd_tpu.ops.golden import sets_from_drtuples  # noqa: F401,E402 (moved to the jax-free module; re-exported for callers)
 
 
 def sketch_to_sets(codes: np.ndarray, shuf: DimShuffle, mode: str = "set",

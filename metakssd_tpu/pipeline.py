@@ -17,8 +17,9 @@ from metakssd_tpu.formats.shuf import DimShuffle, read_shuf, make_shuf, write_sh
 from metakssd_tpu.formats.costat import CoStat
 from metakssd_tpu.formats.codir import write_codir
 from metakssd_tpu.io import seqio
-from metakssd_tpu.ops import sketch_xla
+from metakssd_tpu.ops.golden import sets_from_drtuples
 from metakssd_tpu.params import SketchParams
+from metakssd_tpu.utils import backend_policy
 
 ACCEPT_EXTS = seqio.FASTA_EXTS + seqio.FASTQ_EXTS
 
@@ -121,7 +122,7 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
     checkpointing (the reference can only restart a sample from zero)."""
     from metakssd_tpu.io import native
     import json as _json
-    if ckpt_file is None and sketch_xla._backend_policy() == "cpu":
+    if ckpt_file is None and backend_policy() == "cpu":
         # fused native parse+translate+sketch: one OpenMP pool, no
         # full-size codes array, bit-identical drtuples (native.py
         # sketch_fastq); the batch loop below remains the resumable
@@ -129,7 +130,7 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
         dr = native.sketch_fastq(path, shuf, accept=accept,
                                  min_qual=min_qual, nthreads=threads)
         if dr is not None:
-            return sketch_xla.sets_from_drtuples(dr, shuf.params,
+            return sets_from_drtuples(dr, shuf.params,
                                                  mode=mode,
                                                  min_occ=min_occ)
     key = _ckpt_key(path, shuf, mode, min_qual)
@@ -144,6 +145,7 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
     for codes, _ in native.stream_fastq(path, min_qual,
                                         STREAM_BATCH_BASES, copy=False):
         if i >= done:
+            from metakssd_tpu.ops import sketch_xla
             parts.append(sketch_xla.sketch_codes(codes, shuf,
                                                  accept=accept))
             if ckpt_file and (i + 1 - done) % CKPT_EVERY == 0:
@@ -155,7 +157,7 @@ def _sketch_fastq_streaming(path: str, shuf: DimShuffle, mode: str,
     dr = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
     if ckpt_file and os.path.exists(ckpt_file):
         os.remove(ckpt_file)
-    return sketch_xla.sets_from_drtuples(dr, shuf.params, mode=mode,
+    return sets_from_drtuples(dr, shuf.params, mode=mode,
                                          min_occ=min_occ)
 
 
@@ -171,9 +173,10 @@ def sketch_file(path: str, shuf: DimShuffle, opts: SketchOptions,
             from metakssd_tpu.parallel import mesh as pmesh
             m = pmesh.make_mesh(n_data=opts.mesh, n_db=1)
             dr = pmesh.sharded_sketch(codes, shuf, m)
-            return sketch_xla.sets_from_drtuples(dr, shuf.params,
+            return sets_from_drtuples(dr, shuf.params,
                                                  mode=mode,
                                                  min_occ=opts.min_occ)
+        from metakssd_tpu.ops import sketch_xla
         return sketch_xla.sketch_to_sets(codes, shuf, mode=mode,
                                          min_occ=opts.min_occ,
                                          accept=accept)
@@ -216,6 +219,7 @@ def sketch_byread(path: str, shuf: DimShuffle, out_dir: str,
     else:
         codes, read_starts = seqio.fasta_to_codes(path, return_headers=True)
     nreads = read_starts.size
+    from metakssd_tpu.ops import sketch_xla
     pos, dr = sketch_xla.sketch_codes(codes, shuf, accept=accept,
                                       stream_order=True)
     # window at stream position w belongs to the read containing it
@@ -266,7 +270,7 @@ def _batched_stage1(inputs: list[str], shuf: DimShuffle,
     nthreads = opts.threads if opts.threads > 0 else (os.cpu_count() or 1)
     nthreads = min(nthreads, len(inputs))
 
-    if sketch_xla._backend_policy() == "cpu":
+    if backend_policy() == "cpu":
         # native backend: sketch each file inside the pool (1 OpenMP
         # thread per call, files in flight = pool width) instead of one
         # giant concatenated XLA-on-CPU dispatch
@@ -275,7 +279,7 @@ def _batched_stage1(inputs: list[str], shuf: DimShuffle,
             def _one(path: str):
                 dr = native_io.sketch_cpu(_parse(path), shuf,
                                           accept=accept, nthreads=1)
-                return sketch_xla.sets_from_drtuples(
+                return sets_from_drtuples(
                     dr, p, mode=_mode_for(path), min_occ=opts.min_occ)
             if nthreads > 1:
                 from concurrent.futures import ThreadPoolExecutor

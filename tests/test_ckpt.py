@@ -127,7 +127,7 @@ def test_stream_ckpt_resume(tmp_path, shuf, monkeypatch):
         state["total"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(pipeline.sketch_xla, "sketch_codes", tally)
+    monkeypatch.setattr(sketch_xla, "sketch_codes", tally)
     clean = pipeline._sketch_fastq_streaming(fq, shuf, "occ", 1, 0, None)
     assert state["total"] > 4  # enough batches to crash mid-stream
 
@@ -138,7 +138,7 @@ def test_stream_ckpt_resume(tmp_path, shuf, monkeypatch):
         return real(*a, **kw)
 
     ck = str(tmp_path / "s.ckpt")
-    monkeypatch.setattr(pipeline.sketch_xla, "sketch_codes", crashy)
+    monkeypatch.setattr(sketch_xla, "sketch_codes", crashy)
     with pytest.raises(RuntimeError):
         pipeline._sketch_fastq_streaming(fq, shuf, "occ", 1, 0, None,
                                          ckpt_file=ck)
@@ -148,7 +148,7 @@ def test_stream_ckpt_resume(tmp_path, shuf, monkeypatch):
         state["resumed"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(pipeline.sketch_xla, "sketch_codes", counting)
+    monkeypatch.setattr(sketch_xla, "sketch_codes", counting)
     got = pipeline._sketch_fastq_streaming(fq, shuf, "occ", 1, 0, None,
                                            ckpt_file=ck)
     # exactly the 3 checkpointed batches were skipped on resume
