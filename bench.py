@@ -404,6 +404,10 @@ def main() -> None:
         # e2e-only: one JSON line for the integrated profiling flow
         _prepare()
         probe_s = _device_healthy()
+        if probe_s is None:
+            # cold attach can exceed the first probe budget; the failed
+            # probe warms the remote side (same retry as the main run)
+            probe_s = _device_healthy(120)
         e2e = _run_worker("e2e", "auto" if probe_s is not None else "cpu",
                           WORKER_TIMEOUT)
         ref = e2e.get("e2e_ref_total_s", 0.0) if e2e else 0.0

@@ -69,22 +69,23 @@ gids = rng.integers(0, 512, size=int(index[-1]), dtype=np.int64)
 d = %(work)r
 os.makedirs(d, exist_ok=True)
 db = os.path.join(d, "db")
-per, off = [], 0
-pg = []
 nrefs = 512
-bounds = np.zeros(nrefs + 1, np.int64)
-# build a 512-genome codir whose concatenated ids reproduce rk/postings
-gen_ids = [[] for _ in range(nrefs)]
-g_of = gids
-for i in range(nk):
-    row = g_of[int(index[i]):int(index[i + 1])]
-    for g in set(row.tolist()):
-        gen_ids[g].append(rk[i])
-per_genome = [[(np.unique(np.array(x, np.uint32)) if x else
-                np.zeros(0, np.uint32), None)] for x in gen_ids]
-ctx = np.array([g[0][0].size for g in per_genome], np.uint32)
-write_codir(db, CoStat(7, False, 22, 6, 1, int(ctx.sum()), ctx,
-                       [f"g{i}" for i in range(nrefs)]), per_genome)
+if not os.path.exists(os.path.join(db, "cofiles.stat")):
+    # build a 512-genome codir whose postings reproduce rk/gids,
+    # vectorised (unique (gid, key) pairs via one lexsort); content is
+    # deterministic, so the four per-N worker subprocesses share it
+    keys_flat = np.repeat(rk, lens)
+    order = np.lexsort((keys_flat, gids))
+    gs, ks = gids[order], keys_flat[order]
+    keep = np.ones(gs.size, bool)
+    keep[1:] = (gs[1:] != gs[:-1]) | (ks[1:] != ks[:-1])
+    gs, ks = gs[keep], ks[keep]
+    gb = np.searchsorted(gs, np.arange(nrefs + 1))
+    per_genome = [[(ks[gb[g]:gb[g + 1]].astype(np.uint32), None)]
+                  for g in range(nrefs)]
+    ctx = np.array([g[0][0].size for g in per_genome], np.uint32)
+    write_codir(db, CoStat(7, False, 22, 6, 1, int(ctx.sum()), ctx,
+                           [f"g{i}" for i in range(nrefs)]), per_genome)
 qn = 64
 q_ids = [np.sort(rng.choice(rk, 4096, replace=False)) for _ in range(qn)]
 qidx = np.zeros(qn + 1, np.uint64)

@@ -14,7 +14,6 @@ dense MXU path (`abv_search_batch`) where the measures become matmuls.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 import os
 import threading
@@ -205,9 +204,12 @@ def stage_markerdb(refdir: str, ref: CoDir | None = None,
             # thread streams them through the O_DIRECT sink with
             # atomic tmp+rename (readers only ever see complete
             # files), so the first profiling run doesn't wait ~3 s of
-            # page-cache writeback before answering queries
+            # page-cache writeback before answering queries.
+            # NON-daemon: the interpreter joins it at exit, so a short
+            # CLI run still persists the sidecars instead of killing
+            # the write mid-flight (the queries overlap it either way)
             t = threading.Thread(target=_persist_staged,
-                                 args=(sdir, pre, ci), daemon=True)
+                                 args=(sdir, pre, ci), daemon=False)
             t.start()
             _STAGE_THREADS.append(t)
     _COMP_CACHE[key] = comp_idx
@@ -221,6 +223,17 @@ def _persist_staged(sdir: str, pre: str, ci: "_CompIndex") -> None:
     from metakssd_tpu.formats.mco import save_npy_direct
     try:
         os.makedirs(sdir, exist_ok=True)
+        # sweep stale temp files from writers that died mid-write
+        # (save_npy_direct's tmp names are pid-suffixed; anything older
+        # than an hour is junk — a live writer renames within seconds)
+        import glob
+        import time as _time
+        for t in glob.glob(os.path.join(sdir, "*.npy.tmp*")):
+            try:
+                if _time.time() - os.path.getmtime(t) > 3600:
+                    os.remove(t)
+            except OSError:
+                pass
         # rk last: the load path keys on rk.npy, so its appearance
         # implies the other two sidecars are already complete
         save_npy_direct(pre + ".st.npy", ci.starts)

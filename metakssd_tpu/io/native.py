@@ -38,8 +38,10 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if not hasattr(lib, "k_radix_sort_u32"):
-        # stale build from an older source revision: rebuild once
+    if not hasattr(lib, "invert_postings_u32"):
+        # stale build from an older source revision (probe the
+        # NEWEST exported symbol, or an old .so slips through and the
+        # argtype setup below AttributeErrors): rebuild once
         try:
             subprocess.run(["make", "-B", "-C", _NATIVE_DIR,
                             "libfastseq.so"], check=True,
@@ -47,7 +49,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             return None
-        if not hasattr(lib, "k_radix_sort_u32"):
+        if not hasattr(lib, "invert_postings_u32"):
             return None
     lib.fastseq_set_threads.restype = None
     lib.fastseq_set_threads.argtypes = [ctypes.c_int]

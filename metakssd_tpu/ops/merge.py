@@ -20,8 +20,6 @@ CPU / small inputs use a plain vectorised fallback.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 LANES = 128

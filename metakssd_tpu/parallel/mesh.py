@@ -68,10 +68,14 @@ def init_distributed(coordinator: str | None = None,
     # normal worker-starts-first race by polling until the deadline
     # (MKSSD_COORD_TIMEOUT seconds, default 300).
     timeout = int(os.environ.get("MKSSD_COORD_TIMEOUT", "300"))
+    host, _, port = coordinator.rpartition(":")
+    if not host or not port.isdigit():
+        raise RuntimeError(
+            f"multi-host join failed: MKSSD_COORDINATOR must be "
+            f"host:port, got {coordinator!r}")
     if process_id != 0:
         import socket
         import time as _time
-        host, _, port = coordinator.rpartition(":")
         deadline = _time.time() + timeout
         while _time.time() < deadline:
             try:

@@ -40,6 +40,15 @@ def test_coordinator_failure_clean_error(tmp_path):
         "MKSSD_PROCID": "1",   # proc 0 (the coordinator) never starts
         "MKSSD_COORD_TIMEOUT": "5",
     })
+    # malformed address (missing port): immediate clean error
+    env_bad = dict(env, MKSSD_COORDINATOR="host0")
+    rb = subprocess.run(
+        [sys.executable, "-m", "metakssd_tpu.cli", "set", "-c",
+         str(tmp_path)], env=env_bad, capture_output=True, text=True,
+        timeout=120)
+    assert rb.returncode == 1 and "host:port" in rb.stderr, \
+        rb.stderr[-300:]
+
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-m", "metakssd_tpu.cli", "set", "-c",
