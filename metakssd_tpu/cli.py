@@ -202,12 +202,12 @@ def _cmd_profile(args) -> int:
     native_io.set_threads(args.threadN)
     opts = pipeline.SketchOptions(
         abundance=True, min_occ=args.LstKmerOcrs, min_qual=args.quality,
-        threads=args.threadN)
+        threads=args.threadN, mesh=args.mesh)
     rep = profile_e2e.profile_fastq(
         args.query, args.reference_dir, args.DimRdcLevel, args.outdir,
         shkm_thr=args.shkm_thr, opts=opts,
         cami=tuple(args.cami) if args.cami else None,
-        min_km_s=args.min_km_s)
+        min_km_s=args.min_km_s, shard_db=args.shard_db)
     print(json.dumps(rep), file=sys.stderr)
     return 0
 
@@ -326,6 +326,10 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="shkm_thr",
                     help="min shared k-mers for poisson normalization")
     pf.add_argument("--min-km-s", type=int, dest="min_km_s", default=None)
+    pf.add_argument("--mesh", type=int, default=0,
+                    help="data-parallel sketch over N devices")
+    pf.add_argument("--shard-db", type=int, default=0, dest="shard_db",
+                    help="shard the MarkerDB k-mer space over N devices")
     pf.add_argument("--cami", nargs=2,
                     metavar=("PSID2NCBI_TSV", "NODES_TSV"), default=None,
                     help="also write a CAMI-format profile")

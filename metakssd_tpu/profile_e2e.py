@@ -27,7 +27,7 @@ from metakssd_tpu.utils import TIMER
 def profile_fastq(fastqs: list[str], markerdb: str, shuf, outdir: str,
                   shkm_thr: int = 6, opts=None,
                   cami: tuple[str, str] | None = None,
-                  min_km_s: int | None = None) -> dict:
+                  min_km_s: int | None = None, shard_db: int = 0) -> dict:
     """fastq(.gz) sample(s) -> species relative-abundance profile.
 
     ``shuf``: a DimShuffle or a path to the ``.shuf`` used to build the
@@ -68,7 +68,8 @@ def profile_fastq(fastqs: list[str], markerdb: str, shuf, outdir: str,
         kw = {} if min_km_s is None else {"min_km_s": min_km_s}
         with open(tsv_path, "w") as f:
             composite.get_species_abundance(markerdb, qry_co,
-                                            outdir=outdir, out=f, **kw)
+                                            outdir=outdir, out=f,
+                                            shard_db=shard_db, **kw)
     with TIMER.stage("e2e.poisson"):
         with open(tsv_path) as f, open(abund_path, "w") as g:
             poisson.poisson_abundance(f, shkm_thr=shkm_thr, out=g)

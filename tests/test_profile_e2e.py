@@ -86,6 +86,21 @@ def test_profile_fastq_stages_and_parity(e2e_setup):
 
 
 @needs_oracle
+def test_profile_sharded_matches_serial(e2e_setup):
+    """--mesh/--shard-db through the one-command flow: identical
+    artifacts on the virtual CPU mesh."""
+    tmp, shufp, refco, fq = e2e_setup
+    from metakssd_tpu import pipeline
+    out = str(tmp / "prof_sh")
+    rep = profile_e2e.profile_fastq(
+        [fq], refco, shufp, out,
+        opts=pipeline.SketchOptions(abundance=True, mesh=2), shard_db=2)
+    with open(rep["artifacts"]["abundance_tsv"]) as a, \
+            open(str(tmp / "prof" / "abundance.tsv")) as b:
+        assert a.read() == b.read()
+
+
+@needs_oracle
 def test_profile_cli(e2e_setup, capsys):
     from metakssd_tpu import cli
     tmp, shufp, refco, fq = e2e_setup
