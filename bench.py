@@ -158,15 +158,30 @@ def _worker_e2e(backend: str) -> dict:
     os.environ["MKSSD_BACKEND"] = backend
     dbdir, _, shufp = _profile_fixture()
     fq, _ = _prepare()
-    from metakssd_tpu import profile_e2e
+    from metakssd_tpu import composite, profile_e2e
     outdir = os.path.join(CACHE, "e2e_out")
-    best = None
-    for _ in range(REPS):
+
+    def _run(cold: bool):
         shutil.rmtree(outdir, ignore_errors=True)
-        rep = profile_e2e.profile_fastq([fq], dbdir, shufp, outdir)
+        # drop the in-process index cache every rep — a real second CLI
+        # invocation starts a fresh process (comparing a cached rep
+        # against the always-cold oracle would inflate the ratio)
+        composite._COMP_CACHE.clear()
+        if cold:
+            composite.wait_staging()
+            shutil.rmtree(os.path.join(dbdir, ".mkssd_stage"),
+                          ignore_errors=True)
+        return profile_e2e.profile_fastq([fq], dbdir, shufp, outdir)
+
+    cold_rep = _run(cold=True)        # first-contact: no sidecars
+    best = None
+    for _ in range(REPS):             # steady state: sidecars on disk
+        rep = _run(cold=False)
         if best is None or rep["total_s"] < best["total_s"]:
             best = rep
+    composite.wait_staging()
     res = {"e2e_total_s": best["total_s"],
+           "e2e_cold_total_s": cold_rep["total_s"],
            "e2e_stages": {k: v for k, v in best["stages"].items()
                           if k.startswith("e2e.")}}
     binpath = _oracle_bin()
@@ -418,6 +433,8 @@ def main() -> None:
             "vs_baseline": round(ref / e2e["e2e_total_s"], 3)
             if e2e and ref else 0.0,
             "extra": {"stages": e2e["e2e_stages"] if e2e else {},
+                      "e2e_cold_total_s":
+                          e2e.get("e2e_cold_total_s") if e2e else None,
                       "e2e_ref_total_s": ref,
                       "device_probe_warm_s": probe_s},
         }))
@@ -487,11 +504,18 @@ def main() -> None:
                       WORKER_TIMEOUT)
     if e2e:
         extra["e2e_total_s"] = e2e["e2e_total_s"]
+        extra["e2e_cold_total_s"] = e2e.get("e2e_cold_total_s")
         extra["e2e_stages"] = e2e["e2e_stages"]
         if "e2e_ref_total_s" in e2e:
+            # the oracle is cold every invocation by design (it rebuilds
+            # its hash per run) — report BOTH our first-contact cold
+            # ratio and the sidecar-warm steady state
             extra["e2e_ref_total_s"] = e2e["e2e_ref_total_s"]
             extra["e2e_vs_ref"] = round(
                 e2e["e2e_ref_total_s"] / e2e["e2e_total_s"], 2)
+            if e2e.get("e2e_cold_total_s"):
+                extra["e2e_cold_vs_ref"] = round(
+                    e2e["e2e_ref_total_s"] / e2e["e2e_cold_total_s"], 2)
     if ref_rps:
         extra["ref_reads_per_s"] = round(ref_rps, 1)
 

@@ -470,6 +470,13 @@ def invert_postings(ids: np.ndarray, gindex: np.ndarray, nref: int):
         raise ValueError(f"invert_postings: gindex has {gindex.size} "
                          f"entries for {nref} genomes")
     n = ids.size
+    if gindex.size and int(gindex[-1]) != n:
+        # size-consistency guard (the pre-fusion path got this for free
+        # from kv_radix_sort's equal-size check): a truncated/corrupt
+        # combco index would otherwise yield silently wrong — even
+        # out-of-range — genome rows
+        raise ValueError(f"invert_postings: gindex[-1]={int(gindex[-1])}"
+                         f" != ids.size={n} (corrupt sketch dir?)")
     keys = np.empty(n, np.uint32)
     vals = np.empty(n, np.int32)
     ks = np.empty(n, np.uint32)

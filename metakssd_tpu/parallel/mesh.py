@@ -56,10 +56,16 @@ def init_distributed(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get("MKSSD_COORDINATOR")
     if not coordinator:
         return False
-    if num_processes is None:
-        num_processes = int(os.environ["MKSSD_NPROCS"])
-    if process_id is None:
-        process_id = int(os.environ["MKSSD_PROCID"])
+    try:
+        if num_processes is None:
+            num_processes = int(os.environ["MKSSD_NPROCS"])
+        if process_id is None:
+            process_id = int(os.environ["MKSSD_PROCID"])
+    except (KeyError, ValueError) as e:
+        raise RuntimeError(
+            "multi-host join failed: MKSSD_COORDINATOR is set but "
+            "MKSSD_NPROCS / MKSSD_PROCID are missing or non-integer "
+            f"({e!r}) — the launcher must export all three") from e
     # bounded join: a dead coordinator must surface as a clean error,
     # not an indefinite hang — and it cannot be caught around
     # jax.distributed.initialize (the coordination client LOG(FATAL)s
@@ -73,10 +79,11 @@ def init_distributed(coordinator: str | None = None,
         raise RuntimeError(
             f"multi-host join failed: MKSSD_COORDINATOR must be "
             f"host:port, got {coordinator!r}")
+    import time as _time
+    t0 = _time.time()
     if process_id != 0:
         import socket
-        import time as _time
-        deadline = _time.time() + timeout
+        deadline = t0 + timeout
         while _time.time() < deadline:
             try:
                 socket.create_connection((host, int(port)),
@@ -90,10 +97,13 @@ def init_distributed(coordinator: str | None = None,
                 f"unreachable within {timeout}s (process {process_id}/"
                 f"{num_processes}) — check that process 0 is up and the "
                 f"address is correct")
+    # the probe's elapsed time counts against the SAME budget (or a
+    # slow-to-listen coordinator would double the documented bound)
+    remaining = max(10, int(timeout - (_time.time() - t0)))
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id,
-                               initialization_timeout=timeout)
+                               initialization_timeout=remaining)
     _DISTRIBUTED = True
     return True
 

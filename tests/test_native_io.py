@@ -436,6 +436,11 @@ def test_fused_invert_postings_matches_stable_argsort():
     with pytest.raises(ValueError):
         native_io.invert_postings(np.zeros(3, np.uint32),
                                   np.zeros(3, np.uint64), 5)
+    with pytest.raises(ValueError):
+        # truncated index: gindex[-1] != ids.size must fail loudly, not
+        # emit out-of-range genome rows
+        native_io.invert_postings(np.zeros(10, np.uint32),
+                                  np.array([0, 5], np.uint64), 1)
 
 
 def test_sorted_first_indices_matches_numpy():
