@@ -3,8 +3,9 @@
 Each case draws a random sketch config (k 5-14, subk 3-6, drlevel with
 the reference's primer-index constraint 4 <= k-drlevel <= 8,
 command_dist.c:286-315), a random COMPONENT_SZ build (default 8 / cs6),
-a random input class (fasta with N-runs / short-seq edges, fastq with
-random quality strings), and random mode flags (-u / -n / -Q / -A;
+a random input class (fasta with N-runs / short-seq edges /
+multi-file dirs exercising the batched stage-I engine, fastq plain or
+gzipped with random quality strings), and random mode flags (-u / -n / -Q / -A;
 fastq2co applies -n/-Q, the -A path has no quality filter,
 command_dist.c:385 + iseq2comem.c mt_shortreads2koc), then asserts
 set-level (and koc count) parity of the PRODUCT path
@@ -68,7 +69,12 @@ def _draw_config(rng):
     accept_frac = min(1.0, p.dim_end / p.shuf_len)
     cap = int(0.3 * 0.6 * p.hashsize / accept_frac)
     cfg = {"k": k, "subk": subk, "drlevel": drlevel, "variant": variant,
-           "fmt": fmt, "cap_bases": cap, "mode_flags": [], "opts": {}}
+           "fmt": fmt, "cap_bases": cap, "mode_flags": [], "opts": {},
+           # gz ingestion (decompress-ahead/native inflate paths) and
+           # multi-file fasta dirs (the batched stage-I engine)
+           "gzip": fmt == "fastq" and rng.random() < 0.25,
+           "nfiles": int(rng.integers(2, 4))
+           if fmt == "fasta" and rng.random() < 0.3 else 1}
     if fmt == "fasta":
         if rng.random() < 0.3:
             cfg["mode_flags"] = ["-u"]
@@ -157,9 +163,20 @@ def _run_case(tmpdir, case_seed: int, pinned: bool) -> None:
                                              component_sz=comp_sz))
     d = os.path.join(tmpdir, f"case{case_seed}")
     os.makedirs(d, exist_ok=True)
-    inp = os.path.join(d, "in." + ("fq" if cfg["fmt"] == "fastq"
-                                   else "fa"))
-    _gen_input(rng, cfg, inp)
+    nfiles = cfg.get("nfiles", 1)
+    inputs = []
+    for fi in range(nfiles):
+        inp = os.path.join(d, f"in{fi}." + ("fq" if cfg["fmt"] == "fastq"
+                                            else "fa"))
+        _gen_input(rng, cfg, inp)
+        inputs.append(inp)
+    if cfg.get("gzip"):
+        import gzip
+        gz = inputs[0] + ".gz"
+        with open(inputs[0], "rb") as f, gzip.open(gz, "wb") as g:
+            g.write(f.read())
+        os.remove(inputs[0])
+        inputs = [gz]
     ctx = f"case_seed={case_seed} cfg={cfg} " \
           f"(reproduce: MKSSD_FUZZ_SEED={case_seed})"
 
@@ -168,26 +185,35 @@ def _run_case(tmpdir, case_seed: int, pinned: bool) -> None:
     # are non-deterministic (+-1 lost updates) at p > 1 — found by this
     # fuzzer (case 1011/1021).  Single-threaded, it matches us exactly.
     oracle.run(["dist", "-L", shufp, "-p", "1", *cfg["mode_flags"],
-                "-o", os.path.join(d, "ref"), inp],
+                "-o", os.path.join(d, "ref"), *inputs],
                variant=cfg["variant"])
     opts = pipeline.SketchOptions(**cfg["opts"])
-    pipeline.run_stage1([inp], shuf, os.path.join(d, "mine"), opts)
+    pipeline.run_stage1(inputs, shuf, os.path.join(d, "mine"), opts)
 
     ref = CoDir.read(os.path.join(d, "ref"))
     mine = CoDir.read(os.path.join(d, "mine"))
     assert ref.stat.comp_num == mine.stat.comp_num, ctx
     assert ref.stat.koc == mine.stat.koc, ctx
-    for c in range(ref.stat.comp_num):
-        ri = ref.genome_ids(c, 0)
-        mi = mine.genome_ids(c, 0)
-        order = np.argsort(ri, kind="stable")
-        np.testing.assert_array_equal(ri[order], mi,
-                                      err_msg=f"{ctx} comp={c}")
-        if ref.stat.koc:
+    # map genomes by basename: the oracle randomises multi-file order
+    rmap = {os.path.basename(n): g for g, n in enumerate(ref.stat.names)}
+    mmap_ = {os.path.basename(n): g
+             for g, n in enumerate(mine.stat.names)}
+    assert set(rmap) == set(mmap_), ctx
+    for name in rmap:
+        rg, mg = rmap[name], mmap_[name]
+        for c in range(ref.stat.comp_num):
+            ri = ref.genome_ids(c, rg)
+            mi = mine.genome_ids(c, mg)
+            order = np.argsort(ri, kind="stable")
             np.testing.assert_array_equal(
-                ref.genome_abund(c, 0)[order], mine.genome_abund(c, 0),
-                err_msg=f"{ctx} comp={c} counts")
-    assert int(ref.stat.ctx_ct[0]) == int(mine.stat.ctx_ct[0]), ctx
+                ri[order], mi, err_msg=f"{ctx} {name} comp={c}")
+            if ref.stat.koc:
+                np.testing.assert_array_equal(
+                    ref.genome_abund(c, rg)[order],
+                    mine.genome_abund(c, mg),
+                    err_msg=f"{ctx} {name} comp={c} counts")
+        assert int(ref.stat.ctx_ct[rg]) == int(mine.stat.ctx_ct[mg]), (
+            ctx, name)
 
 
 def test_fuzz_parity(tmp_path_factory):
