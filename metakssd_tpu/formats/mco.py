@@ -105,8 +105,15 @@ class _FileSink:
         if n == 0:
             return
         if self.direct and n % 4096:
-            # unaligned tail: drop to buffered for the rest of the file
+            # unaligned tail: drop to buffered for the rest of the file.
+            # Invalidate self.fd across the reopen — if the reopen
+            # raises (e.g. the file was unlinked by concurrent cleanup),
+            # a later close() would otherwise re-close the OLD fd
+            # number, which the OS may already have reused (observed:
+            # it landed on a subprocess pipe and broke an unrelated
+            # oracle run in the fuzz harness).
             os.close(self.fd)
+            self.fd = -1
             self.fd = os.open(self.path, os.O_WRONLY)
             self.direct = False
         w = 0
@@ -115,7 +122,9 @@ class _FileSink:
         self.off += n
 
     def close(self) -> None:
-        os.close(self.fd)
+        if self.fd >= 0:
+            os.close(self.fd)
+            self.fd = -1
 
 
 def _aligned_bufs(nbuf: int, nbytes: int):

@@ -235,3 +235,174 @@ def test_fuzz_parity(tmp_path_factory):
         ran += 1
     assert ran >= len(_PINNED) + 3, \
         f"only {ran} fuzz cases ran inside {BUDGET_S}s"
+
+
+# ---------------------------------------------------------------------
+# set-algebra + composite fuzz: random sketch dirs, artifact-level
+# oracle parity (the stage-I fuzz above proves sketch parity; these
+# consume ORACLE-produced dirs so they isolate command_set /
+# command_composite semantics)
+# ---------------------------------------------------------------------
+
+SETOPS_BUDGET_S = float(os.environ.get("MKSSD_FUZZ_SETOPS_SECONDS", "15"))
+
+
+def _draw_setop_config(rng):
+    subk = int(rng.integers(4, 7))
+    # cap k-drlevel at 7 (<= 16 components at cs6) to bound file counts
+    k = int(rng.integers(max(6, subk), min(13, subk + 7) + 1))
+    lo, hi = max(0, k - 7), min(subk, k - 4)
+    drlevel = int(rng.integers(lo, hi + 1))
+    variant = "default" if rng.random() < 0.6 else "cs6"
+    p = SketchParams(k=k, subk=subk, drlevel=drlevel)
+    accept_frac = min(1.0, p.dim_end / p.shuf_len)
+    cap = int(0.3 * 0.6 * p.hashsize / accept_frac)
+    return {"k": k, "subk": subk, "drlevel": drlevel, "variant": variant,
+            "cap_bases": cap, "ngen": int(rng.integers(2, 6))}
+
+
+def _run_setop_case(tmpdir, case_seed: int) -> None:
+    import shutil
+
+    rng = np.random.default_rng(case_seed)
+    cfg = _draw_setop_config(rng)
+    if oracle.ensure_oracle(cfg["variant"]) is None:
+        pytest.skip(f"no {cfg['variant']} oracle")
+    shuf, shufp = _get_shuf(tmpdir, cfg)
+    d = os.path.join(tmpdir, f"setcase{case_seed}")
+    shutil.rmtree(d, ignore_errors=True)
+    gdir = os.path.join(d, "g")
+    os.makedirs(gdir)
+    ctx = f"setop case_seed={case_seed} cfg={cfg} " \
+          f"(reproduce: MKSSD_FUZZ_SEED={case_seed} " \
+          f"-k test_fuzz_setops)"
+    # overlapping genome family: base + splices/mutations + one
+    # unrelated, sized inside the reference capacity envelope
+    per = max(80, min(cfg["cap_bases"] // (cfg["ngen"] + 1), 12000))
+    base = random_seq(rng, per)
+    for gi in range(cfg["ngen"]):
+        r = rng.random()
+        if gi == 0 or r < 0.3:
+            g = base if gi == 0 else random_seq(rng, per)
+        elif r < 0.65:
+            cut = int(rng.integers(1, per))
+            g = base[:cut] + random_seq(rng, per - cut)   # splice
+        else:
+            arr = np.frombuffer(base.encode(), np.uint8).copy()
+            idx = rng.random(arr.size) < 0.05
+            arr[idx] = np.frombuffer(b"ACGT", np.uint8)[
+                rng.integers(0, 4, int(idx.sum()))]
+            g = arr.tobytes().decode()                    # mutate
+        write_fasta(os.path.join(gdir, f"g{gi}.fa"), [g])
+    co = os.path.join(d, "co")
+    oracle.run(["dist", "-L", shufp, "-o", co, gdir],
+               variant=cfg["variant"])
+
+    from metakssd_tpu import setops
+    from metakssd_tpu.formats.costat import CoStat
+    ncomp = CoStat.read(co).comp_num
+
+    def _cmp_files(rdir, mdir, prefix):
+        for c in range(ncomp):
+            f = f"{prefix}.{c}"
+            a = open(os.path.join(rdir, f), "rb").read()
+            b = open(os.path.join(mdir, f), "rb").read()
+            assert a == b, f"{ctx}: {f} differs"
+
+    # -u / -q: byte-identical pan outputs
+    oracle.run(["set", "-u", "-o", os.path.join(d, "pan_r"), co],
+               variant=cfg["variant"])
+    setops.sketch_union(co, os.path.join(d, "pan_m"))
+    _cmp_files(os.path.join(d, "pan_r"), os.path.join(d, "pan_m"), "pan")
+    oracle.run(["set", "-q", "-o", os.path.join(d, "upan_r"), co],
+               variant=cfg["variant"])
+    setops.uniq_sketch_union(co, os.path.join(d, "upan_m"))
+    _cmp_files(os.path.join(d, "upan_r"), os.path.join(d, "upan_m"),
+               "uniq_pan")
+
+    # -s / -i against the uniq pan: byte-identical combco outputs
+    for flag, intersect in (("-s", False), ("-i", True)):
+        rdir = os.path.join(d, f"op{flag[1]}_r")
+        mdir = os.path.join(d, f"op{flag[1]}_m")
+        oracle.run(["set", flag, os.path.join(d, "upan_r"), "-o", rdir,
+                    co], variant=cfg["variant"])
+        setops.sketch_operate(co, os.path.join(d, "upan_r"), mdir,
+                              intersect=intersect)
+        _cmp_files(rdir, mdir, "combco")
+        _cmp_files(rdir, mdir, "combco.index")
+
+    # -g with a random taxon table (incl. a dropped taxid-0 genome)
+    taxf = os.path.join(d, "tax.tsv")
+    tax = rng.integers(0, 4, cfg["ngen"])
+    with open(taxf, "w") as f:
+        for t in tax:
+            f.write(f"{100 + t}\tTax{t}\n" if t else "0\n")
+    if (tax != 0).any():
+        rdir, mdir = os.path.join(d, "grp_r"), os.path.join(d, "grp_m")
+        oracle.run(["set", "-g", taxf, "-o", rdir, co],
+                   variant=cfg["variant"])
+        setops.grouping_genomes(co, taxf, mdir)
+        sa, sb = CoStat.read(rdir), CoStat.read(mdir)
+        assert sa.names == sb.names, ctx
+        np.testing.assert_array_equal(sa.ctx_ct, sb.ctx_ct, err_msg=ctx)
+        # per-taxon unions as SETS: the reference emits its hash-table
+        # order here (unlike -u/-s/-i outputs), so bytes differ
+        ga = CoDir.read(rdir, want_abund=False)
+        gb = CoDir.read(mdir, want_abund=False)
+        for ti in range(len(sa.names)):
+            for c in range(ncomp):
+                np.testing.assert_array_equal(
+                    np.sort(ga.genome_ids(c, ti)), gb.genome_ids(c, ti),
+                    err_msg=f"{ctx} taxon {ti} comp {c}")
+
+    # composite profiling on a koc query drawn from the genome mix
+    reads = []
+    src = base + random_seq(rng, 200)
+    rlen = 100
+    for _ in range(int(rng.integers(150, 600))):
+        s0 = int(rng.integers(0, max(1, len(src) - rlen)))
+        reads.append(src[s0:s0 + rlen])
+    write_fastq(os.path.join(d, "r.fq"), reads)
+    oracle.run(["dist", "-L", shufp, "-A", "-p", "1", "-o",
+                os.path.join(d, "qko"), os.path.join(d, "r.fq")],
+               variant=cfg["variant"])
+    import io as _io
+    from metakssd_tpu import composite
+    buf = _io.StringIO()
+    composite.get_species_abundance(co, os.path.join(d, "qko"), out=buf,
+                                    use_device=False)
+    # the reference composite SIGFPEs when any query component holds
+    # <= 1 k-mer: its per-query double-hash H2 = 1 + K % (hash_sz - 1)
+    # divides by zero at hash_sz <= 1 (global_basic.h:283,
+    # command_composite.c:535) — found by this fuzzer (case 5020).
+    # Ours handles those inputs; only the oracle COMPARISON is gated.
+    qcd = CoDir.read(os.path.join(d, "qko"), want_abund=False)
+    qmin = min(qcd.genome_ids(c, 0).size
+               for c in range(qcd.stat.comp_num))
+    if qmin >= 2:
+        r = oracle.run(["composite", "-r", co, "-q",
+                        os.path.join(d, "qko")], variant=cfg["variant"])
+        ref_lines = [ln for ln in r.stdout.splitlines()
+                     if ln.count("\t") == 6]
+        assert buf.getvalue().splitlines() == ref_lines, ctx
+    # join the background sidecar writer before deleting its target
+    # (the rmtree-under-writer race also exposed a _FileSink
+    # double-close; both are fixed, but don't re-create the race)
+    composite.wait_staging()
+    composite._COMP_CACHE.clear()
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fuzz_setops(tmp_path_factory):
+    if oracle.ensure_oracle() is None:
+        pytest.skip("no oracle")
+    tmpdir = str(tmp_path_factory.mktemp("fuzz_set"))
+    if ENV_SEED is not None:
+        _run_setop_case(tmpdir, int(ENV_SEED))
+        return
+    t0 = time.time()
+    ran = 0
+    while time.time() - t0 < SETOPS_BUDGET_S and ran < MAX_CASES:
+        _run_setop_case(tmpdir, 5000 + ran)
+        ran += 1
+    assert ran >= 2, f"only {ran} setop fuzz cases ran"
