@@ -36,6 +36,15 @@ def co_reverse2kmer(codir: str, shuf_file: str, outdir: str = ".",
     TL = p.kmer_len
     cd = CoDir.read(codir, want_abund=False)
     out = out or sys.stdout
+    # component bits come from the DIR's component count, not the shuf
+    # default: the .shuf file does not carry COMPONENT_SZ, so a sketch
+    # written by a cs6/cs7 build splits ids across 16^(kd-6/7)
+    # components while p.comp_code_bits (default build) says 0 —
+    # reconstructing dr = id + c instead of (id << bits) | c (found by
+    # the property fuzzer, case 5020: every multi-component k-mer
+    # reversed wrong)
+    ccb = cd.stat.comp_num.bit_length() - 1
+    assert (1 << ccb) == cd.stat.comp_num, cd.stat.comp_num
 
     if byreads:
         # per-read mode: combco.index.c indexes reads, printed to stdout
@@ -45,7 +54,7 @@ def co_reverse2kmer(codir: str, shuf_file: str, outdir: str = ".",
             out.write(f">read {r + 1}\n")
             for c in range(cd.stat.comp_num):
                 ids = cd.genome_ids(c, r)
-                dr = (ids.astype(np.uint64) << np.uint64(p.comp_code_bits)) \
+                dr = (ids.astype(np.uint64) << np.uint64(ccb)) \
                     + np.uint64(c)
                 for s in _kmer_strings(golden.drtuple_to_kmer(dr, shuf), TL):
                     out.write(s + "\n")
@@ -57,7 +66,7 @@ def co_reverse2kmer(codir: str, shuf_file: str, outdir: str = ".",
         with open(os.path.join(outdir, fname), "w") as f:
             for c in range(cd.stat.comp_num):
                 ids = cd.genome_ids(c, g)
-                dr = (ids.astype(np.uint64) << np.uint64(p.comp_code_bits)) \
+                dr = (ids.astype(np.uint64) << np.uint64(ccb)) \
                     + np.uint64(c)
                 unis = golden.drtuple_to_kmer(dr, shuf)
                 for s in _kmer_strings(unis, TL):

@@ -355,6 +355,31 @@ def _run_setop_case(tmpdir, case_seed: int) -> None:
                     np.sort(ga.genome_ids(c, ti)), gb.genome_ids(c, ti),
                     err_msg=f"{ctx} taxon {ti} comp {c}")
 
+    # reverse: k-mer recovery line-set parity per genome.  Exact ONLY
+    # at subk - drlevel == 3: above that the reference's rev table
+    # covers pfilters < MIN_SUBCTX_DIM_SMP_SZ=4096 only
+    # (command_reverse.c:155); below it the pfilter ADDS past its
+    # 4^(subk-drlevel) bit slot into the outer-context bits
+    # (iseq2comem.c:291-294 is an arithmetic +, carries alias), so
+    # reversal is ambiguous and a reconstructed k-mer can flip strands
+    # on re-canonicalization — in that regime the two tools pick
+    # different (equally valid) decompositions.
+    if cfg["subk"] - cfg["drlevel"] == 3:
+        from metakssd_tpu import reverse as rev_mod
+        rr, rm = os.path.join(d, "rev_r"), os.path.join(d, "rev_m")
+        os.makedirs(rr, exist_ok=True)
+        oracle.run(["reverse", "-L", shufp, "-o", rr, co],
+                   variant=cfg["variant"])
+        rev_mod.co_reverse2kmer(co, shufp, rm)
+        ref_files = sorted(f for f in os.listdir(rr)
+                           if not f.startswith("."))
+        assert ref_files == sorted(
+            f for f in os.listdir(rm) if not f.startswith(".")), ctx
+        for f in ref_files:
+            a = sorted(open(os.path.join(rr, f)).read().splitlines())
+            b = sorted(open(os.path.join(rm, f)).read().splitlines())
+            assert a == b, f"{ctx}: reverse {f} differs"
+
     # composite profiling on a koc query drawn from the genome mix
     reads = []
     src = base + random_seq(rng, 200)
