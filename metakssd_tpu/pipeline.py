@@ -236,6 +236,13 @@ def sketch_byread(path: str, shuf: DimShuffle, out_dir: str,
         index = np.zeros(nreads + 1, dtype=np.uint64)
         np.cumsum(counts, out=index[1:])
         index.tofile(os.path.join(out_dir, f"combco.index.{c}"))
+    # the reference also writes a cofiles.stat for byread dirs (one
+    # "genome" = the input file, ctx counts zeroed; command_dist.c:354)
+    # — downstream readers (reverse -b, CoDir) expect it
+    CoStat(shuf_id=p.shuf_id, koc=False, kmerlen=2 * p.k,
+           dim_rd_len=2 * p.drlevel, comp_num=p.component_num,
+           all_ctx_ct=0, ctx_ct=np.zeros(1, np.uint32),
+           names=[path]).write(out_dir)
 
 
 def _batched_stage1(inputs: list[str], shuf: DimShuffle,

@@ -166,3 +166,40 @@ def test_dist_search_native_refdb(tmp_path):
     st = CoStat.read(co_ref)
     qst = CoStat.read(co_qry)
     assert m1[0].max() > 0
+
+
+@needs_oracle
+def test_byread_oracle_parity(tmp_path):
+    """--byread per-read sketching matches reads2mco: identical
+    per-read index and per-read id sets, plus the cofiles.stat the
+    reference writes for byread dirs (command_dist.c:354-359)."""
+    rng = np.random.default_rng(17)
+    fa = str(tmp_path / "x.fa")
+    write_fasta(fa, [random_seq(rng, 3000), random_seq(rng, 2500),
+                     random_seq(rng, 60)])
+    shufp = str(tmp_path / "t.shuf")
+    write_shuf(shufp, make_shuf(SketchParams(k=8, subk=5, drlevel=2),
+                                seed=3))
+    oracle.run(["dist", "-L", shufp, "--byread", "-o",
+                str(tmp_path / "refbr"), fa])
+    rc = cli.main(["dist", "-L", shufp, "--byread", "-o",
+                   str(tmp_path / "minebr"), fa])
+    assert rc == 0
+    ia = np.fromfile(str(tmp_path / "refbr" / "combco.index.0"),
+                     np.uint64)
+    ib = np.fromfile(str(tmp_path / "minebr" / "combco.index.0"),
+                     np.uint64)
+    np.testing.assert_array_equal(ia, ib)
+    ra = np.fromfile(str(tmp_path / "refbr" / "combco.0"), np.uint32)
+    rb = np.fromfile(str(tmp_path / "minebr" / "combco.0"), np.uint32)
+    for i in range(ia.size - 1):
+        np.testing.assert_array_equal(
+            np.sort(ra[int(ia[i]):int(ia[i + 1])]),
+            np.sort(rb[int(ib[i]):int(ib[i + 1])]), err_msg=f"read {i}")
+    sa = CoStat.read(str(tmp_path / "refbr"))
+    sb = CoStat.read(str(tmp_path / "minebr"))
+    assert (sa.shuf_id, sa.koc, sa.kmerlen, sa.dim_rd_len, sa.comp_num,
+            sa.all_ctx_ct) == \
+        (sb.shuf_id, sb.koc, sb.kmerlen, sb.dim_rd_len, sb.comp_num,
+         sb.all_ctx_ct)
+    np.testing.assert_array_equal(sa.ctx_ct, sb.ctx_ct)
