@@ -62,6 +62,9 @@ def co_reverse2kmer(codir: str, shuf_file: str, outdir: str = ".",
 
     os.makedirs(outdir, exist_ok=True)
     for g in range(cd.stat.infile_num):
+        if not any(cd.genome_ids(c, g).size
+                   for c in range(cd.stat.comp_num)):
+            continue   # reference writes no file for empty sketches
         fname = os.path.basename(cd.stat.names[g]).replace(" ", "_")
         with open(os.path.join(outdir, fname), "w") as f:
             for c in range(cd.stat.comp_num):
