@@ -228,14 +228,22 @@ def _worker_main(argv) -> None:
     print("WORKER_RESULT " + json.dumps(res), flush=True)
 
 
+_LAST_WORKER_TIMED_OUT = False
+
+
 def _run_worker(task: str, backend: str, timeout: int):
-    """Run a measurement in a subprocess; None on failure/timeout."""
+    """Run a measurement in a subprocess; None on failure/timeout
+    (_LAST_WORKER_TIMED_OUT distinguishes the two — a timeout kill may
+    have wedged the remote chip, so callers must NOT retry it)."""
+    global _LAST_WORKER_TIMED_OUT
+    _LAST_WORKER_TIMED_OUT = False
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", task,
              backend], capture_output=True, timeout=timeout, text=True)
     except subprocess.TimeoutExpired:
         print(f"bench: worker {task}/{backend} timed out", file=sys.stderr)
+        _LAST_WORKER_TIMED_OUT = True
         return None
     for line in r.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
@@ -485,9 +493,11 @@ def main() -> None:
                 value = tpu["reads_per_s"]
                 extra["sketch_backend"] = "tpu"
         kern = _run_worker("kernel", "tpu", WORKER_TIMEOUT)
-        if kern is None:
+        if kern is None and not _LAST_WORKER_TIMED_OUT:
             # transient tunnel aborts (observed: "TPU backend error
-            # (Aborted)" mid-transfer) — one retry before giving up
+            # (Aborted)" mid-transfer) — one retry before giving up.
+            # NOT after a timeout: the kill may have wedged the chip,
+            # and a retry would hang another full WORKER_TIMEOUT.
             kern = _run_worker("kernel", "tpu", WORKER_TIMEOUT)
         if kern:
             extra["kernel_mwin_per_s"] = round(

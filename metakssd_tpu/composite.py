@@ -167,6 +167,8 @@ def stage_markerdb(refdir: str, ref: CoDir | None = None,
     ref = ref or CoDir.read(refdir, want_abund=False)
     nref = ref.stat.infile_num
     sdir = os.path.join(refdir, _STAGE_DIRNAME)
+    if os.path.isdir(sdir):
+        _sweep_stale_tmps(sdir)   # once per staging, not per component
     comp_idx = []
     for c in range(ref.stat.comp_num):
         if not ref.ids[c].size:
@@ -219,21 +221,24 @@ def stage_markerdb(refdir: str, ref: CoDir | None = None,
 _STAGE_THREADS: list = []
 
 
+def _sweep_stale_tmps(sdir: str) -> None:
+    """Remove temp files from sidecar writers that died mid-write
+    (save_npy_direct's tmp names are pid-suffixed; anything older than
+    an hour is junk — a live writer renames within seconds)."""
+    import glob
+    import time as _time
+    for t in glob.glob(os.path.join(sdir, "*.npy.tmp*")):
+        try:
+            if _time.time() - os.path.getmtime(t) > 3600:
+                os.remove(t)
+        except OSError:
+            pass
+
+
 def _persist_staged(sdir: str, pre: str, ci: "_CompIndex") -> None:
     from metakssd_tpu.formats.mco import save_npy_direct
     try:
         os.makedirs(sdir, exist_ok=True)
-        # sweep stale temp files from writers that died mid-write
-        # (save_npy_direct's tmp names are pid-suffixed; anything older
-        # than an hour is junk — a live writer renames within seconds)
-        import glob
-        import time as _time
-        for t in glob.glob(os.path.join(sdir, "*.npy.tmp*")):
-            try:
-                if _time.time() - os.path.getmtime(t) > 3600:
-                    os.remove(t)
-            except OSError:
-                pass
         # rk last: the load path keys on rk.npy, so its appearance
         # implies the other two sidecars are already complete
         save_npy_direct(pre + ".st.npy", ci.starts)

@@ -98,8 +98,12 @@ def init_distributed(coordinator: str | None = None,
                 f"{num_processes}) — check that process 0 is up and the "
                 f"address is correct")
     # the probe's elapsed time counts against the SAME budget (or a
-    # slow-to-listen coordinator would double the documented bound)
-    remaining = max(10, int(timeout - (_time.time() - t0)))
+    # slow-to-listen coordinator would double the documented bound) —
+    # but keep at least half the budget for the join barrier: a
+    # coordinator that appears just before the probe deadline must not
+    # leave initialize a sliver that LOG(FATAL)s mid-join
+    remaining = max(int(timeout - (_time.time() - t0)),
+                    timeout // 2, 10)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id,

@@ -44,7 +44,10 @@ def co_reverse2kmer(codir: str, shuf_file: str, outdir: str = ".",
     # the property fuzzer, case 5020: every multi-component k-mer
     # reversed wrong)
     ccb = cd.stat.comp_num.bit_length() - 1
-    assert (1 << ccb) == cd.stat.comp_num, cd.stat.comp_num
+    if (1 << ccb) != cd.stat.comp_num:
+        raise ValueError(    # clean CLI diagnostic, survives python -O
+            f"reverse: comp_num {cd.stat.comp_num} is not a power of "
+            f"two — corrupt or foreign cofiles.stat?")
 
     if byreads:
         # per-read mode: combco.index.c indexes reads, printed to stdout

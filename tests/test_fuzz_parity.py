@@ -430,4 +430,4 @@ def test_fuzz_setops(tmp_path_factory):
     while time.time() - t0 < SETOPS_BUDGET_S and ran < MAX_CASES:
         _run_setop_case(tmpdir, 5000 + ran)
         ran += 1
-    assert ran >= 2, f"only {ran} setop fuzz cases ran"
+    assert ran >= 1, f"no setop fuzz case completed in {SETOPS_BUDGET_S}s"

@@ -95,8 +95,12 @@ def test_profile_sharded_matches_serial(e2e_setup):
     rep = profile_e2e.profile_fastq(
         [fq], refco, shufp, out,
         opts=pipeline.SketchOptions(abundance=True, mesh=2), shard_db=2)
+    # self-contained serial baseline (no ordering dependency on the
+    # other tests in this module)
+    serial = str(tmp / "prof_sh_serial")
+    rep_s = profile_e2e.profile_fastq([fq], refco, shufp, serial)
     with open(rep["artifacts"]["abundance_tsv"]) as a, \
-            open(str(tmp / "prof" / "abundance.tsv")) as b:
+            open(rep_s["artifacts"]["abundance_tsv"]) as b:
         assert a.read() == b.read()
 
 
