@@ -92,9 +92,7 @@ class _CompIndex:
             self.starts = np.empty(self.rk.size + 1, dtype=np.int64)
             self.starts[:-1] = starts
             self.starts[-1] = sk.size
-        self.hay = merge_ops.StaticHaystack(
-            np.asarray(self.rk),
-            np.arange(self.rk.size, dtype=np.uint32))
+        self.hay = merge_ops.StaticHaystack(np.asarray(self.rk))
 
     def match(self, qids_s: np.ndarray, qab_s: np.ndarray, use_pallas
               ) -> tuple[np.ndarray, np.ndarray]:

@@ -83,8 +83,7 @@ def shared_kmer_matrix(ref: CoDir | str, qry: CoDir | str,
         # the DB is the (large, static) haystack staged once; each query
         # sketch is the (small) needle set — values=arange returns the
         # matched row index so only hit rows' postings are ever touched
-        hay = merge_ops.StaticHaystack(
-            inv.kmers, np.arange(inv.kmers.size, dtype=np.uint32))
+        hay = merge_ops.StaticHaystack(inv.kmers)
         offs = inv.offsets.astype(np.int64)
         for q in range(qnum):
             qids = np.sort(qry.genome_ids(c, q))

@@ -39,9 +39,16 @@ class StaticHaystack:
     def __init__(self, haystack: np.ndarray,
                  values: np.ndarray | None = None):
         self.haystack = np.asarray(haystack, dtype=np.uint32)
-        if values is None:
-            values = np.zeros_like(self.haystack)
-        self.values = np.asarray(values, dtype=np.uint32)
+        # values=None: IDENTITY (value of a hit = its haystack
+        # position).  Kept implicit — both product callers want
+        # positions, and materialising an arange costs ~0.5 s of
+        # first-touch page faults per 50 MB on this host (it was the
+        # single largest cold-staging item at bench scale); the host
+        # fallback returns pos directly and the device table builds
+        # lazily in _stage.
+        self.identity = values is None
+        self.values = None if self.identity \
+            else np.asarray(values, dtype=np.uint32)
         nh = self.haystack.size
         self.nh_pad = (-(-max(nh, 1) // W) + 1) * W
         # Device staging is deferred: host-fallback callers (use_pallas
@@ -57,7 +64,8 @@ class StaticHaystack:
             hay_pad = np.full(self.nh_pad, UINT32_MAX, dtype=np.uint32)
             hay_pad[:nh] = self.haystack
             val_pad = np.zeros(self.nh_pad, dtype=np.uint32)
-            val_pad[:nh] = self.values
+            val_pad[:nh] = np.arange(nh, dtype=np.uint32) \
+                if self.identity else self.values
             self._hay2d = jax.device_put(hay_pad.reshape(-1, LANES))
             self._val2d = jax.device_put(val_pad.reshape(-1, LANES))
         return self._hay2d, self._val2d
@@ -84,13 +92,16 @@ def sorted_membership(haystack, values, needles,
     Returns (member bool[n], value uint32[n]).
     """
     staged = haystack if isinstance(haystack, StaticHaystack) else None
+    identity = False
     if staged is not None:
         haystack, values = staged.haystack, staged.values
+        identity = staged.identity
     haystack = np.asarray(haystack, dtype=np.uint32)
     needles = np.asarray(needles, dtype=np.uint32)
-    if values is None:
+    if values is None and not identity:
         values = np.zeros_like(haystack)
-    values = np.asarray(values, dtype=np.uint32)
+    if values is not None:
+        values = np.asarray(values, dtype=np.uint32)
 
     def fallback(nd):
         if haystack.size == 0 or nd.size == 0:
@@ -98,6 +109,8 @@ def sorted_membership(haystack, values, needles,
         pos = np.searchsorted(haystack, nd)
         pos = np.minimum(pos, haystack.size - 1)
         m = haystack[pos] == nd
+        if identity:   # value of a hit IS its position — no table
+            return m, np.where(m, pos, 0).astype(np.uint32)
         return m, np.where(m, values[pos], 0).astype(np.uint32)
 
     if use_pallas is None:
