@@ -58,9 +58,15 @@ class _CompIndex:
         elif sorted_pair is not None:
             # fused native inversion already sorted (key, genome) pairs
             sk, self.gid_sorted = sorted_pair
-            from metakssd_tpu.utils import sorted_first_idx
-            starts = sorted_first_idx(sk)
-            self.rk = sk[starts]
+            from metakssd_tpu.io import native as native_io
+            got = native_io.sorted_unique_pack(sk) \
+                if native_io.available() else None
+            if got is not None:
+                self.rk, starts = got   # one fused pass: idx + gather
+            else:
+                from metakssd_tpu.utils import sorted_first_idx
+                starts = sorted_first_idx(sk)
+                self.rk = sk[starts]
             self.starts = np.empty(self.rk.size + 1, dtype=np.int64)
             self.starts[:-1] = starts
             self.starts[-1] = sk.size

@@ -38,7 +38,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    if not hasattr(lib, "invert_postings_u32"):
+    if not hasattr(lib, "sorted_unique_pack_u32"):
         # stale build from an older source revision (probe the
         # NEWEST exported symbol, or an old .so slips through and the
         # argtype setup below AttributeErrors): rebuild once
@@ -49,7 +49,7 @@ def _load():
             lib = ctypes.CDLL(_SO)
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             return None
-        if not hasattr(lib, "invert_postings_u32"):
+        if not hasattr(lib, "sorted_unique_pack_u32"):
             return None
     lib.fastseq_set_threads.restype = None
     lib.fastseq_set_threads.argtypes = [ctypes.c_int]
@@ -125,6 +125,10 @@ def _load():
     lib.sorted_first_indices_u32.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.sorted_unique_pack_u32.restype = ctypes.c_int64
+    lib.sorted_unique_pack_u32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32)]
     lib.invert_postings_u32.restype = None
     lib.invert_postings_u32.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
@@ -490,6 +494,31 @@ def invert_postings(ids: np.ndarray, gindex: np.ndarray, nref: int):
         ks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         vs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return keys, vals
+
+
+def sorted_unique_pack(keys: np.ndarray):
+    """(distinct_keys u32, first_idx i64) of an ascending-sorted uint32
+    array in one fused parallel pass; None when the lib is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if keys.dtype != np.uint32 or not keys.flags.c_contiguous:
+        raise ValueError("sorted_unique_pack: need a contiguous uint32 "
+                         f"array, got {keys.dtype}")
+    kp = keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    count = lib.sorted_unique_pack_u32(
+        kp, ctypes.c_int64(keys.size),
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_int64)),
+        ctypes.cast(None, ctypes.POINTER(ctypes.c_uint32)))
+    idx = np.empty(count, dtype=np.int64)
+    rk = np.empty(count, dtype=np.uint32)
+    if count:
+        lib.sorted_unique_pack_u32(
+            kp, ctypes.c_int64(keys.size),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return rk, idx
 
 
 def sorted_first_indices(keys: np.ndarray):

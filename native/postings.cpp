@@ -402,4 +402,53 @@ int64_t sorted_first_indices_u32(const uint32_t* keys, int64_t n,
     return total;
 }
 
+// sorted_first_indices_u32 + the distinct-key gather fused into the
+// same parallel fill pass: out_keys[j] = keys[out_idx[j]].  Saves a
+// separate fancy-gather over a fresh output buffer (first-touch page
+// faults dominate that gather on this host).  Same two-call protocol
+// (out_idx == nullptr counts only).
+int64_t sorted_unique_pack_u32(const uint32_t* keys, int64_t n,
+                               int64_t* out_idx, uint32_t* out_keys) {
+    if (n <= 0) return 0;
+    if (!out_idx) return sorted_first_indices_u32(keys, n, nullptr);
+    int nt = 1;
+#ifdef _OPENMP
+    nt = omp_get_max_threads();
+#endif
+    if (nt > 64) nt = 64;
+    int64_t chunk = (n + nt - 1) / nt;
+    if (chunk < 1) chunk = 1;
+    int64_t counts[64] = {0};
+    #pragma omp parallel for num_threads(nt) schedule(static, 1)
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk;
+        if (lo > n) lo = n;
+        if (hi > n) hi = n;
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; i++)
+            c += (i == 0 || keys[i] != keys[i - 1]);
+        counts[t] = c;
+    }
+    int64_t total = 0;
+    for (int t = 0; t < nt; t++) {
+        int64_t c = counts[t];
+        counts[t] = total;
+        total += c;
+    }
+    #pragma omp parallel for num_threads(nt) schedule(static, 1)
+    for (int t = 0; t < nt; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk;
+        if (lo > n) lo = n;
+        if (hi > n) hi = n;
+        int64_t d = counts[t];
+        for (int64_t i = lo; i < hi; i++)
+            if (i == 0 || keys[i] != keys[i - 1]) {
+                out_idx[d] = i;
+                out_keys[d] = keys[i];
+                d++;
+            }
+    }
+    return total;
+}
+
 }  // extern "C"

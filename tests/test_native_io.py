@@ -514,3 +514,19 @@ def test_async_staging_sidecars_load_back(tmp_path):
                                   np.asarray(warm[0].gid_sorted))
     assert isinstance(np.asarray(warm[0].rk).base, np.memmap) or \
         isinstance(warm[0].rk, np.memmap)  # really loaded from sidecar
+
+
+def test_sorted_unique_pack_matches_two_step():
+    import numpy as np
+    import pytest
+    from metakssd_tpu.io import native as native_io
+    if not native_io.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(8)
+    for n in (0, 1, 3, 100_000, 5_000_000):
+        sk = np.sort(rng.integers(0, max(n // 3, 1) + 1, n,
+                                  dtype=np.int64).astype(np.uint32))
+        rk, idx = native_io.sorted_unique_pack(sk)
+        want_idx = native_io.sorted_first_indices(sk)
+        np.testing.assert_array_equal(idx, want_idx)
+        np.testing.assert_array_equal(rk, sk[want_idx])
