@@ -44,7 +44,7 @@ def _device_unique(ids: np.ndarray, return_counts: bool):
     (GTDB-scale pan builds).  Returns None for the host path.
     Force with MKSSD_DEVICE_SETOPS=1/0; size floor via
     MKSSD_DEVICE_SETOPS_MIN (default 4M ids — below that the host
-    np.unique wins; see docs/PERF.md crossover)."""
+    np.unique wins; see PERF.md crossover)."""
     force = os.environ.get("MKSSD_DEVICE_SETOPS")
     if force == "0":
         return None
