@@ -97,6 +97,17 @@ def test_sharded_composite_profile_identical(tmp_path):
     # the colocated-TPU deployment shape for DBs that fit one HBM
     composite.get_species_abundance(db, qco, out=one, shard_db=1)
     assert one.getvalue() == serial.getvalue()
+    # binvec (-b) rides the same match path: .abv bytes identical too
+    import os
+    for tag, sh in (("abv_s", 0), ("abv_p", 8)):
+        composite.get_species_abundance(
+            db, qco, outdir=str(tmp_path / tag), binvec=True,
+            out=io.StringIO(), shard_db=sh)
+    fa = os.listdir(str(tmp_path / "abv_s"))
+    assert fa and fa == os.listdir(str(tmp_path / "abv_p"))
+    for f in fa:
+        assert open(tmp_path / "abv_s" / f, "rb").read() == \
+            open(tmp_path / "abv_p" / f, "rb").read()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
