@@ -46,6 +46,9 @@ from tests.util import random_seq, write_fasta, write_fastq
 BUDGET_S = float(os.environ.get("MKSSD_FUZZ_SECONDS", "25"))
 MAX_CASES = int(os.environ.get("MKSSD_FUZZ_MAX_CASES", "200"))
 ENV_SEED = os.environ.get("MKSSD_FUZZ_SEED")
+# base of the sequential case-seed window (vary to explore fresh cases
+# across sessions; each case is fully determined by its seed)
+BASE = int(os.environ.get("MKSSD_FUZZ_BASE", "1000"))
 
 # deterministic opening cases covering previously-untested classes:
 # multi-component koc at high k (cs6, k-drlevel=7 -> 16 components) and
@@ -229,9 +232,8 @@ def test_fuzz_parity(tmp_path_factory):
     for case_seed in _PINNED:
         _run_case(tmpdir, case_seed, pinned=True)
         ran += 1
-    base = 1000
     while time.time() - t0 < BUDGET_S and ran < MAX_CASES:
-        _run_case(tmpdir, base + ran, pinned=False)
+        _run_case(tmpdir, BASE + ran, pinned=False)
         ran += 1
     assert ran >= len(_PINNED) + 3, \
         f"only {ran} fuzz cases ran inside {BUDGET_S}s"
@@ -428,6 +430,6 @@ def test_fuzz_setops(tmp_path_factory):
     t0 = time.time()
     ran = 0
     while time.time() - t0 < SETOPS_BUDGET_S and ran < MAX_CASES:
-        _run_setop_case(tmpdir, 5000 + ran)
+        _run_setop_case(tmpdir, 4 * BASE + 1000 + ran)
         ran += 1
     assert ran >= 1, f"no setop fuzz case completed in {SETOPS_BUDGET_S}s"
