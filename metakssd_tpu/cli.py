@@ -202,7 +202,7 @@ def _cmd_profile(args) -> int:
     native_io.set_threads(args.threadN)
     opts = pipeline.SketchOptions(
         abundance=True, min_occ=args.LstKmerOcrs, min_qual=args.quality,
-        threads=args.threadN, mesh=args.mesh)
+        threads=args.threadN, mesh=args.mesh, ckpt=args.ckpt)
     rep = profile_e2e.profile_fastq(
         args.query, args.reference_dir, args.DimRdcLevel, args.outdir,
         shkm_thr=args.shkm_thr, opts=opts,
@@ -328,6 +328,8 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--min-km-s", type=int, dest="min_km_s", default=None)
     pf.add_argument("--mesh", type=int, default=0,
                     help="data-parallel sketch over N devices")
+    pf.add_argument("--ckpt", action="store_true",
+                    help="per-file/per-batch stage-I crash resume")
     pf.add_argument("--shard-db", type=int, default=0, dest="shard_db",
                     help="shard the MarkerDB k-mer space over N devices")
     pf.add_argument("--cami", nargs=2,
