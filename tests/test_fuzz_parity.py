@@ -204,19 +204,32 @@ def _run_case(tmpdir, case_seed: int, pinned: bool) -> None:
     assert set(rmap) == set(mmap_), ctx
     for name in rmap:
         rg, mg = rmap[name], mmap_[name]
+        dropped0 = 0
         for c in range(ref.stat.comp_num):
             ri = ref.genome_ids(c, rg)
             mi = mine.genome_ids(c, mg)
+            mab = mine.genome_abund(c, mg) if ref.stat.koc else None
+            # tolerate the reference's slot-0 bug: a drtuple of value 0
+            # (component 0, id 0) cannot live in its open-addressing
+            # table (0 == empty slot) and is silently dropped from its
+            # sketches; we keep it (docs/PARITY.md).  First hit by the
+            # fuzzer at case 300370 (k=6 drlevel=0: 24-bit drtuple
+            # space makes id 0 actually reachable).
+            if c == 0 and mi.size and mi[0] == 0 and \
+                    not (ri.size and ri.min() == 0):
+                mi = mi[1:]
+                if mab is not None:
+                    mab = mab[1:]
+                dropped0 = 1
             order = np.argsort(ri, kind="stable")
             np.testing.assert_array_equal(
                 ri[order], mi, err_msg=f"{ctx} {name} comp={c}")
             if ref.stat.koc:
                 np.testing.assert_array_equal(
-                    ref.genome_abund(c, rg)[order],
-                    mine.genome_abund(c, mg),
+                    ref.genome_abund(c, rg)[order], mab,
                     err_msg=f"{ctx} {name} comp={c} counts")
-        assert int(ref.stat.ctx_ct[rg]) == int(mine.stat.ctx_ct[mg]), (
-            ctx, name)
+        assert int(ref.stat.ctx_ct[rg]) + dropped0 == \
+            int(mine.stat.ctx_ct[mg]), (ctx, name)
 
 
 def test_fuzz_parity(tmp_path_factory):
